@@ -1,0 +1,128 @@
+"""torch state-dict -> Flax pytree weight converters.
+
+This is the framework's "checkpoint story" (SURVEY.md §5): the reference
+always loads pretrained torchvision/timm/CLIP weights at driver startup
+(evaluatePerturbation.py:627-677); here those same state dicts (or .pt files
+of them) are converted once into Flax pytrees and cached.
+
+Conventions handled:
+- torchvision ResNet/ResNeXt naming (``layer1.0.conv1.weight``,
+  ``layer1.0.downsample.0.weight`` ...), BatchNorm folded to scale/bias;
+- torchvision VGG naming (``features.N.weight``, ``classifier.{0,3,6}``);
+- timm ViT naming (``blocks.N.attn.qkv.weight`` ...), as produced by the
+  reference's instrumented fork too (ViT_new_timm.py:555-633).
+
+All functions accept a mapping name -> numpy array (call ``.numpy()`` on
+torch tensors or pass a loaded ``state_dict``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+BN_EPS = 1e-5
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _conv(w):
+    """torch OIHW -> flax HWIO."""
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def _dense(w):
+    """torch [out, in] -> flax [in, out]."""
+    return _np(w).T
+
+
+def _fold_bn(sd, prefix, eps=BN_EPS):
+    gamma = _np(sd[prefix + ".weight"])
+    beta = _np(sd[prefix + ".bias"])
+    mean = _np(sd[prefix + ".running_mean"])
+    var = _np(sd[prefix + ".running_var"])
+    scale = gamma / np.sqrt(var + eps)
+    return {"scale": scale, "bias": beta - mean * scale}
+
+
+def resnet_from_torch(sd, layers) -> dict:
+    """Convert a torchvision-style ResNet/ResNeXt state dict.
+
+    layers: per-stage block counts, e.g. (3, 4, 23, 3) for ResNet-101.
+    """
+    sd = {k: v for k, v in sd.items()}
+    params = {
+        "conv1": {"kernel": _conv(sd["conv1.weight"])},
+        "bn1": _fold_bn(sd, "bn1"),
+        "fc": {"kernel": _dense(sd["fc.weight"]), "bias": _np(sd["fc.bias"])},
+    }
+    for stage, blocks in enumerate(layers, start=1):
+        for b in range(blocks):
+            t = f"layer{stage}.{b}"
+            blk = {}
+            for j in (1, 2, 3):
+                blk[f"conv{j}"] = {"kernel": _conv(sd[f"{t}.conv{j}.weight"])}
+                blk[f"bn{j}"] = _fold_bn(sd, f"{t}.bn{j}")
+            if f"{t}.downsample.0.weight" in sd:
+                blk["downsample_conv"] = {
+                    "kernel": _conv(sd[f"{t}.downsample.0.weight"])}
+                blk["downsample_bn"] = _fold_bn(sd, f"{t}.downsample.1")
+            params[f"layer{stage}_{b}"] = blk
+    return params
+
+
+def vgg_from_torch(sd) -> dict:
+    params = {}
+    conv_keys = sorted(
+        (k for k in sd if k.startswith("features.") and k.endswith(".weight")),
+        key=lambda k: int(k.split(".")[1]),
+    )
+    for i, wk in enumerate(conv_keys):
+        bk = wk[: -len("weight")] + "bias"
+        params[f"conv{i}"] = {"kernel": _conv(sd[wk]), "bias": _np(sd[bk])}
+    fc_keys = sorted(
+        (k for k in sd
+         if k.startswith("classifier.") and k.endswith(".weight")),
+        key=lambda k: int(k.split(".")[1]),
+    )
+    for i, wk in enumerate(fc_keys):
+        bk = wk[: -len("weight")] + "bias"
+        params[f"fc{i}"] = {"kernel": _dense(sd[wk]), "bias": _np(sd[bk])}
+    return params
+
+
+def vit_from_torch(sd, depth: int = 12) -> dict:
+    """Convert a timm-style ViT state dict (ViT_new_timm.py naming)."""
+    params = {
+        "patch_embed": {
+            "kernel": _conv(sd["patch_embed.proj.weight"]),
+            "bias": _np(sd["patch_embed.proj.bias"]),
+        },
+        "cls_token": _np(sd["cls_token"]),
+        "pos_embed": _np(sd["pos_embed"]),
+        "norm": {"scale": _np(sd["norm.weight"]),
+                 "bias": _np(sd["norm.bias"])},
+        "head": {"kernel": _dense(sd["head.weight"]),
+                 "bias": _np(sd["head.bias"])},
+    }
+    for i in range(depth):
+        t = f"blocks.{i}"
+        params[f"block{i}"] = {
+            "norm1": {"scale": _np(sd[f"{t}.norm1.weight"]),
+                      "bias": _np(sd[f"{t}.norm1.bias"])},
+            "norm2": {"scale": _np(sd[f"{t}.norm2.weight"]),
+                      "bias": _np(sd[f"{t}.norm2.bias"])},
+            "attn": {
+                "qkv": {"kernel": _dense(sd[f"{t}.attn.qkv.weight"]),
+                        "bias": _np(sd[f"{t}.attn.qkv.bias"])},
+                "proj": {"kernel": _dense(sd[f"{t}.attn.proj.weight"]),
+                         "bias": _np(sd[f"{t}.attn.proj.bias"])},
+            },
+            "mlp_fc1": {"kernel": _dense(sd[f"{t}.mlp.fc1.weight"]),
+                        "bias": _np(sd[f"{t}.mlp.fc1.bias"])},
+            "mlp_fc2": {"kernel": _dense(sd[f"{t}.mlp.fc2.weight"]),
+                        "bias": _np(sd[f"{t}.mlp.fc2.bias"])},
+        }
+    return params

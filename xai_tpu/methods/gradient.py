@@ -1,0 +1,276 @@
+"""Gradient-path attributions: grad, input×grad, IG, LIG, IDG, IDGI, SmoothGrad.
+
+Reference: util/attribution_methods/saliencyMethods.py (the highest-value
+file per SURVEY §2.1).  TPU design: a single jitted chunked fwd+VJP sweep
+over the interpolation axis (``lax.map`` of a batched value_and_grad);
+the LIG cutoff is an argmax over the logit trace; IDG's two-pass alpha
+redistribution is vectorized integer logic on device.  No host loops.
+
+All functions take a ModelBundle and a normalized [H, W, C] input (NHWC,
+single image) and return the per-channel attribution [H, W, C]; reduce with
+:func:`to_saliency` (the driver's ``np.abs(np.sum(..., axis=0))``,
+evaluatePerturbation.py:181).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def to_saliency(attr) -> np.ndarray:
+    """[H, W, C] signed attribution -> [H, W] |sum over channels|."""
+    return np.abs(np.asarray(attr).sum(axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# batched score+grad sweep over interpolation images
+# ---------------------------------------------------------------------------
+
+def _grads_and_logits(apply_fn, params, images, target, chunk):
+    """images: [S, H, W, C] -> (grads [S, H, W, C], logits [S]) via chunked
+    batched VJP (saliencyMethods.py:40-46 / 209-215, minus the host loop)."""
+    S = images.shape[0]
+    assert S % chunk == 0, (S, chunk)
+
+    def scores_sum(xb):
+        logits = apply_fn(params, xb)
+        s = logits[:, target]
+        return s.sum(), s
+
+    def one_chunk(xb):
+        (_, s), g = jax.value_and_grad(scores_sum, has_aux=True)(xb)
+        return g, s
+
+    grads, logits = jax.lax.map(
+        one_chunk, images.reshape((S // chunk, chunk) + images.shape[1:]))
+    return (grads.reshape(images.shape), logits.reshape(S))
+
+
+def _logits_only(apply_fn, params, images, target, chunk):
+    S = images.shape[0]
+
+    def one_chunk(xb):
+        return apply_fn(params, xb)[:, target]
+
+    logits = jax.lax.map(
+        one_chunk, images.reshape((S // chunk, chunk) + images.shape[1:]))
+    return logits.reshape(S)
+
+
+# ---------------------------------------------------------------------------
+# plain gradient / input x gradient
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _grad_device(apply_fn, params, x, target):
+    def score(xi):
+        return apply_fn(params, xi[None])[0, target]
+    return jax.grad(score)(x)
+
+
+def grad(bundle, x, target) -> jnp.ndarray:
+    """d logit[target] / d input (saliencyMethods.py:7-11)."""
+    return _grad_device(bundle.apply, bundle.params, jnp.asarray(x),
+                        target)
+
+
+def inp_x_grad(bundle, x, target) -> jnp.ndarray:
+    x = jnp.asarray(x)
+    return x * grad(bundle, x, target)
+
+
+# ---------------------------------------------------------------------------
+# IG / LIG (saliencyMethods.py:13-72)
+# ---------------------------------------------------------------------------
+
+def ig(bundle, x, target, steps: int = 50, alpha_star: float = 1.0,
+       baseline=0.0, chunk: int = None) -> jnp.ndarray:
+    """Integrated Gradients; ``alpha_star < 1`` gives LIG (LeftIG): truncate
+    the Riemann sum at the first step whose logit exceeds
+    alpha_star * max_logit (saliencyMethods.py:48-67)."""
+    x = jnp.asarray(x)
+    chunk = chunk or min(bundle.meta.batch_size, steps)
+    while steps % chunk:
+        chunk -= 1
+    baseline = jnp.broadcast_to(jnp.asarray(baseline, dtype=x.dtype), x.shape)
+    grads, logits, diff = _ig_jit(bundle.apply, bundle.params, x, baseline,
+                                  steps, target, chunk)
+    if alpha_star >= 1.0:
+        mean_grads = grads.mean(axis=0)
+    else:
+        cutoff = jnp.max(logits) * alpha_star
+        above = logits > cutoff
+        first = jnp.argmax(above)           # 0 if none True
+        cutoff_step = jnp.where(jnp.any(above), first, 1)
+        cutoff_step = jnp.maximum(cutoff_step, 1)
+        w = (jnp.arange(steps) < cutoff_step).astype(grads.dtype)
+        mean_grads = jnp.einsum("s,shwc->hwc", w, grads) / cutoff_step
+    return mean_grads * diff
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 6))
+def _ig_jit(apply_fn, params, x, baseline, steps, target, chunk):
+    alphas = jnp.linspace(0.0, 1.0, steps).reshape(steps, 1, 1, 1)
+    diff = x - baseline
+    images = baseline[None] + alphas * diff[None]
+    grads, logits = _grads_and_logits(apply_fn, params, images, target, chunk)
+    return grads, logits, diff
+
+
+def lig(bundle, x, target, steps: int = 50, baseline=0.0,
+        alpha_star: float = 0.9, chunk: int = None) -> jnp.ndarray:
+    return ig(bundle, x, target, steps, alpha_star, baseline, chunk)
+
+
+# ---------------------------------------------------------------------------
+# IDG (saliencyMethods.py:74-136, 226-314)
+# ---------------------------------------------------------------------------
+
+def _alpha_parameters(slopes, steps: int, step_size):
+    """Vectorized getAlphaParameters (saliencyMethods.py:264-314).
+
+    Redistributes the `steps` sample budget proportionally to normalized
+    slope; note the reference quirk that zero-sample segments do NOT advance
+    the alpha window (the `continue` at :302 skips the start_value update),
+    so nonzero segments occupy consecutive windows — reproduced here via the
+    nonzero-rank cumsum.
+    """
+    smin, smax = slopes.min(), slopes.max()
+    s01 = (slopes - smin) / (smax - smin)
+    s01 = s01.at[0].set(0.0)
+    ssum = s01 / s01.sum()
+
+    placements_f = ssum * steps
+    placements = placements_f.astype(jnp.int32)
+    remaining = steps - placements.sum()
+
+    # fill leftover slots at the largest truncated fractions among the
+    # segments that truncated to zero (reference marks nonzeros as -1 then
+    # takes the top `remaining` of the rest, :281-287)
+    marked = jnp.where(placements != 0, -1.0, placements_f)
+    order = jnp.flip(jnp.argsort(marked))          # hi -> lo
+    rank = jnp.empty_like(order).at[order].set(jnp.arange(steps))
+    placements = placements + (rank < remaining).astype(jnp.int32)
+
+    # segment window index = rank among nonzero segments
+    nz = placements > 0
+    win = jnp.cumsum(nz.astype(jnp.int32)) - 1      # valid where nz
+
+    # per-sample-slot segment id
+    cum = jnp.cumsum(placements)
+    slots = jnp.arange(steps)
+    seg = jnp.searchsorted(cum, slots, side="right")
+    seg_start = cum[seg] - placements[seg]
+    within = slots - seg_start
+    n_seg = placements[seg]
+    # reference builds linspace(v, v+step, n+1)[:n]  => v + within*step/n
+    alphas = win[seg] * step_size + within * (step_size / n_seg)
+    substep = step_size / n_seg
+    return alphas, substep
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 6))
+def _idg_jit(apply_fn, params, x, baseline, steps, target, chunk):
+    diff = x - baseline
+    # pilot pass: logit slopes on uniform alphas (getSlopes, :226-260)
+    uni = jnp.linspace(0.0, 1.0, steps).reshape(steps, 1, 1, 1)
+    pilot_logits = _logits_only(apply_fn, params,
+                                baseline[None] + uni * diff[None], target,
+                                chunk)
+    step_size = 1.0 / (steps - 1)
+    slopes = jnp.concatenate(
+        [jnp.zeros(1), (pilot_logits[1:] - pilot_logits[:-1]) / step_size])
+
+    alphas, substep = _alpha_parameters(slopes, steps, step_size)
+
+    images = baseline[None] + alphas.reshape(steps, 1, 1, 1) * diff[None]
+    grads, logits = _grads_and_logits(apply_fn, params, images, target, chunk)
+
+    # per-step logit slope over the NEW alpha spacing (:117-124)
+    d_alpha = alphas[1:] - alphas[:-1]
+    new_slopes = jnp.concatenate(
+        [jnp.zeros(1), (logits[1:] - logits[:-1]) / d_alpha])
+    weighted = grads * new_slopes.reshape(steps, 1, 1, 1)
+    weighted = weighted * substep.reshape(steps, 1, 1, 1)
+    return weighted.mean(axis=0) * diff
+
+
+def idg(bundle, x, target, steps: int = 50, baseline=0.0,
+        chunk: int = None) -> jnp.ndarray:
+    """Importance-Directed Gradients (saliencyMethods.py:74-136)."""
+    x = jnp.asarray(x)
+    chunk = chunk or min(bundle.meta.batch_size, steps)
+    while steps % chunk:
+        chunk -= 1
+    baseline = jnp.broadcast_to(jnp.asarray(baseline, dtype=x.dtype), x.shape)
+    return _idg_jit(bundle.apply, bundle.params, x, baseline, steps, target,
+                    chunk)
+
+
+# ---------------------------------------------------------------------------
+# IDGI (saliencyMethods.py:139-181)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 6))
+def _idgi_jit(apply_fn, params, x, baseline, steps, target, chunk):
+    alphas = jnp.linspace(0.0, 1.0, steps).reshape(steps, 1, 1, 1)
+    diff = x - baseline
+    images = baseline[None] + alphas * diff[None]
+    grads, logits = _grads_and_logits(apply_fn, params, images, target, chunk)
+    d = logits[1:] - logits[:-1]                     # [steps-1]
+    g2 = grads[:-1] ** 2                             # [steps-1, H, W, C]
+    denom = g2.sum(axis=(1, 2, 3), keepdims=True)
+    return (g2 * d.reshape(-1, 1, 1, 1) / denom).sum(axis=0)
+
+
+def idgi(bundle, x, target, steps: int = 50, baseline=0.0,
+         chunk: int = None) -> jnp.ndarray:
+    x = jnp.asarray(x)
+    chunk = chunk or min(bundle.meta.batch_size, steps)
+    while steps % chunk:
+        chunk -= 1
+    baseline = jnp.broadcast_to(jnp.asarray(baseline, dtype=x.dtype), x.shape)
+    return _idgi_jit(bundle.apply, bundle.params, x, baseline, steps, target,
+                     chunk)
+
+
+# ---------------------------------------------------------------------------
+# SmoothGrad ensemble (saliencyMethods.py:184-205)
+# ---------------------------------------------------------------------------
+
+def smooth_grad(bundle, x, target, key, attribution: str = "IG",
+                steps: int = 50, baseline=0.0, samples: int = 25,
+                sigma_spread: float = 0.15,
+                reference_quirk: bool = True) -> jnp.ndarray:
+    """Gaussian-noise ensemble around IG/LIG/IDG; sigma = spread*(max-min).
+
+    ``reference_quirk``: the reference's ``total_gradients[i], _, _ = IG(...)``
+    (saliencyMethods.py:196-200) tuple-unpacks the [3,H,W] attribution over
+    its channel dim, keeping only channel 0 and broadcasting it back to all 3
+    channels.  Kept behind a flag for exact parity; set False for the
+    intended all-channel mean.
+    """
+    x = jnp.asarray(x)
+    stdev = sigma_spread * (x.max() - x.min())
+    noises = stdev * jax.random.normal(key, (samples,) + x.shape, x.dtype)
+    total = jnp.zeros_like(x)
+    for i in range(samples):
+        xi = x + noises[i]
+        if attribution == "IG":
+            a = ig(bundle, xi, target, steps, 1.0, baseline,
+                   chunk=int(steps / 2))
+        elif attribution == "LIG":
+            a = ig(bundle, xi, target, steps, 0.9, baseline,
+                   chunk=max(1, int(steps / 4)))
+        elif attribution == "IDG":
+            a = idg(bundle, xi, target, steps, baseline,
+                    chunk=max(1, int(steps / 4)))
+        else:
+            raise ValueError(attribution)
+        if reference_quirk:
+            a = jnp.broadcast_to(a[..., 0:1], a.shape)
+        total = total + a
+    return total / samples

@@ -1,0 +1,292 @@
+"""The unified on-device ranked-reveal curve engine.
+
+Every perturbation metric in the reference (MAS / RISE / AIC / MoRF-LeRF /
+Monotonicity — util/test_methods/*) shares one inner loop: rank pixels by
+saliency, progressively swap `step_size` pixels per step from a start image
+to a finish image, and record the model's softmax response at each step.
+The reference runs that loop on host with a device round-trip per step
+(MASTestFunctions.py:245-281 — the #1 perf bug per SURVEY §3.1), and runs it
+8 times per image (once per metric object).
+
+TPU-native design:
+- the reveal schedule is a per-pixel int ("the step at which this pixel
+  flips"), so the image at step s is ``where(flip_step <= s, finish, start)``
+  — computed on the fly inside the jitted loop, fused by XLA with the model's
+  first conv; zero host round-trips;
+- all steps are evaluated as one ``lax.map`` of vmapped forwards (chunked to
+  bound HBM);
+- ONE pass returns target-prob + top-1-indicator + entropy, which serves
+  every metric that shares a (substrate, direction) pair.  The full 8-metric
+  battery (evaluatePerturbation.py:462-482) therefore costs 3 passes instead
+  of 8 (blur/ins ⊇ {MAS_ins, RISE_ins, AIC_ins, MONO_pos}; zeros/del ⊇
+  {MAS_del, RISE_del, AIC_del, MONO_neg, MORF}; zeros/lerf ⊇ {LERF}).
+- monotone normalization (MASTestFunctions.py:297-309) is a cummax/cummin;
+  the MAS density response (:225-263) is a segment-sum + cumsum.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.stats import auc, entropy_bits, spearman
+
+
+@dataclasses.dataclass
+class CurveOutputs:
+    """Raw per-step curve data for one (start, finish, order) pass."""
+
+    target_prob: np.ndarray      # [n_steps+1] softmax prob of target class
+    top1_is_target: np.ndarray   # [n_steps+1] 0/1
+    entropy: np.ndarray          # [n_steps+1] bits
+    original_pred: float         # target prob of the untouched input
+    baseline_pred: float         # target prob of the fully-substituted input
+    baseline_top1: float         # top-1-is-target of the substituted input
+
+
+# ---------------------------------------------------------------------------
+# reveal schedules
+# ---------------------------------------------------------------------------
+
+def pixel_flip_steps(saliency: np.ndarray, step_size: int,
+                     descending: bool = True) -> np.ndarray:
+    """[H, W] saliency -> [H*W] int32 'flip step' (1-indexed).
+
+    Matches np.flip(np.argsort(...)) ordering incl. its tie behaviour
+    (MASTestFunctions.py:207-212): computed with numpy on host — it is a
+    50k-element sort, negligible next to the forwards.
+    """
+    flat = np.asarray(saliency).reshape(-1)
+    hw = flat.shape[0]
+    if descending:
+        order = np.flip(np.argsort(flat.reshape(1, hw), axis=1), axis=-1)[0]
+    else:
+        order = np.argsort(flat.reshape(1, hw), axis=1)[0]
+    flip = np.empty(hw, dtype=np.int32)
+    flip[order] = np.arange(hw, dtype=np.int32) // step_size + 1
+    return flip
+
+
+def patch_flip_steps(saliency: np.ndarray, patch_mask: np.ndarray,
+                     descending: bool = True) -> np.ndarray:
+    """Patch-ranked variant (MASTestFunctions.py:213-223): patches ordered by
+    mean saliency; one patch flips per step."""
+    flat = np.asarray(saliency).reshape(-1)
+    pm = np.asarray(patch_mask).reshape(-1)
+    n_seg = len(np.unique(pm))
+    seg_sal = np.zeros(n_seg)
+    for i in range(n_seg):
+        seg_sal[i] = flat[pm == i].mean()
+    if descending:
+        order = np.flip(np.argsort(seg_sal, axis=0), axis=-1)
+    else:
+        order = np.argsort(seg_sal, axis=0)
+    seg_step = np.empty(n_seg, dtype=np.int32)
+    seg_step[order] = np.arange(n_seg, dtype=np.int32) + 1
+    return seg_step[pm]
+
+
+# ---------------------------------------------------------------------------
+# the device engine
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def _curves_device(apply_fn, params, start, finish, flip_step,
+                   n_steps: int, chunk: int, target):
+    """start/finish: [H, W, C]; flip_step: [H*W] int32.
+
+    Returns probs of target, top1 indicator, entropy at steps 0..n_steps.
+    """
+    H, W, C = start.shape
+    mask_hw = flip_step.reshape(H, W, 1)
+
+    def probs_at(s):
+        img = jnp.where(mask_hw <= s, finish, start)
+        logits = apply_fn(params, img[None])[0]
+        p = jax.nn.softmax(logits, axis=-1)
+        return (p[target], (jnp.argmax(logits) == target).astype(jnp.float32),
+                entropy_bits(p))
+
+    total = n_steps + 1
+    padded = ((total + chunk - 1) // chunk) * chunk
+    steps = jnp.arange(padded, dtype=jnp.int32).reshape(-1, chunk)
+    tp, top1, ent = jax.lax.map(jax.vmap(probs_at), steps)
+    return (tp.reshape(-1)[:total], top1.reshape(-1)[:total],
+            ent.reshape(-1)[:total])
+
+
+def reveal_curves(apply_fn, params, start, finish, flip_step, n_steps: int,
+                  target: int, chunk: int = 25,
+                  original_img=None) -> CurveOutputs:
+    """Run one full reveal pass.
+
+    start is the step-0 image; finish is the fully-substituted end state.
+    ``original_img`` (default: whichever of start/finish is the clean input)
+    supplies original_pred; baseline comes from the substituted end.
+    """
+    tp, top1, ent = _curves_device(apply_fn, params, jnp.asarray(start),
+                                   jnp.asarray(finish),
+                                   jnp.asarray(flip_step), n_steps, chunk,
+                                   target)
+    tp = np.asarray(tp)
+    top1 = np.asarray(top1)
+    ent = np.asarray(ent)
+    if original_img is None:
+        raise ValueError("original_img required")
+    o_logits = apply_fn(params, jnp.asarray(original_img)[None])[0]
+    o_probs = jax.nn.softmax(o_logits)
+    original_pred = float(o_probs[target])
+    # figure out which end is the substituted one: the one that isn't the
+    # original image's curve endpoint. Caller passes direction via flip order;
+    # baseline is always the final state when start==original (deletion) or
+    # the initial state when finish==original (insertion).
+    if np.allclose(np.asarray(original_img), np.asarray(start)):
+        baseline_pred = float(tp[-1])
+        baseline_top1 = float(top1[-1])
+    else:
+        baseline_pred = float(tp[0])
+        baseline_top1 = float(top1[0])
+    return CurveOutputs(tp, top1, ent, original_pred, baseline_pred,
+                        baseline_top1)
+
+
+# ---------------------------------------------------------------------------
+# metric post-processing (all O(n_steps) — host numpy, matching reference
+# float semantics exactly)
+# ---------------------------------------------------------------------------
+
+def monotone_normalize(response: np.ndarray, original_pred: float,
+                       baseline_pred: float, mode: str) -> np.ndarray:
+    """MASTestFunctions.py:297-309 — normalize against (original, baseline)
+    and enforce monotonicity with a running min (del) / max (ins).
+
+    NaN entries (degenerate baseline == original, e.g. AIC's 0/0) replicate
+    the reference's Python ``min(mn, nan) -> mn`` semantics: they leave the
+    running value unchanged (initial value 1.0 for del, 0.0 for ins).
+    """
+    denom = abs(original_pred - baseline_pred)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        norm = np.clip((response - baseline_pred) / denom, 0.0, 1.0)
+    nan = np.isnan(norm)
+    if mode in ("del", "morf", "lerf"):
+        v = np.where(nan, np.inf, norm)
+        return np.minimum.accumulate(np.concatenate([[1.0], v]))[1:]
+    v = np.where(nan, -np.inf, norm)
+    return np.maximum.accumulate(np.concatenate([[0.0], v]))[1:]
+
+
+def density_response(saliency: np.ndarray, flip_step: np.ndarray,
+                     n_steps: int, mode: str) -> np.ndarray:
+    """MAS attribution-density curve (MASTestFunctions.py:225-263)."""
+    flat = np.asarray(saliency).reshape(-1).astype(np.float64)
+    total = flat.sum()
+    per_step = np.bincount(flip_step, weights=flat,
+                           minlength=n_steps + 1)[1:n_steps + 1]
+    frac = np.cumsum(per_step) / total
+    if mode in ("del", "morf", "lerf"):
+        return np.concatenate([[1.0], 1.0 - frac])
+    return np.concatenate([[0.0], frac])
+
+
+def mas_scores(normalized: np.ndarray, density: np.ndarray,
+               mode: str) -> np.ndarray:
+    """Density-alignment correction + minmax (MASTestFunctions.py:352-368)."""
+    penalty = np.abs(normalized - density)
+    if mode in ("del", "morf", "lerf"):
+        corrected = normalized + penalty
+    else:
+        corrected = normalized - penalty
+    corrected = corrected.clip(0, 1)
+    rng = corrected.max() - corrected.min()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corrected = (corrected - corrected.min()) / rng
+    if np.isnan(corrected).any():
+        n = len(normalized)
+        if mode in ("del", "morf"):
+            corrected = np.linspace(1, 0, n)
+        else:
+            corrected = np.linspace(0, 1, n)
+    return corrected
+
+
+# ---------------------------------------------------------------------------
+# the full battery — evaluatePerturbation.run_perturbation equivalent
+# ---------------------------------------------------------------------------
+
+def run_battery(apply_fn, params, input_img, saliency, blur_fn,
+                step_size: Optional[int] = None, chunk: int = 25,
+                target: Optional[int] = None) -> dict:
+    """Compute all 10 perturbation scores for one image.
+
+    input_img: [H, W, C] normalized input. saliency: [H, W].
+    Returns the reference's Counter keys
+    (evaluatePerturbation.py:484-495) -> float score.
+    """
+    H, W, C = input_img.shape
+    hw = H * W
+    step_size = step_size or H
+    n_steps = (hw + step_size - 1) // step_size
+
+    x = jnp.asarray(input_img)
+    blurred = blur_fn(x[None])[0]
+    zeros = jnp.zeros_like(x)
+
+    if target is None:
+        logits = apply_fn(params, x[None])[0]
+        target = int(jnp.argmax(logits))
+
+    desc = pixel_flip_steps(saliency, step_size, descending=True)
+    asc = pixel_flip_steps(saliency, step_size, descending=False)
+
+    # pass 1: blur substrate, insertion direction (start=blur, finish=input)
+    ins = reveal_curves(apply_fn, params, blurred, x, desc, n_steps, target,
+                        chunk, original_img=x)
+    # pass 2: zeros substrate, deletion direction (start=input, finish=zeros)
+    dele = reveal_curves(apply_fn, params, x, zeros, desc, n_steps, target,
+                         chunk, original_img=x)
+    # pass 3: zeros substrate, LeRF (ascending deletion)
+    lerf = reveal_curves(apply_fn, params, x, zeros, asc, n_steps, target,
+                         chunk, original_img=x)
+
+    # --- MAS ins/del (blur-ins, zeros-del; MASTestFunctions) ---
+    rise_ins = monotone_normalize(ins.target_prob, ins.original_pred,
+                                  ins.baseline_pred, "ins")
+    rise_del = monotone_normalize(dele.target_prob, dele.original_pred,
+                                  dele.baseline_pred, "del")
+    dens_ins = density_response(saliency, desc, n_steps, "ins")
+    dens_del = density_response(saliency, desc, n_steps, "del")
+    mas_ins = mas_scores(rise_ins, dens_ins, "ins")
+    mas_del = mas_scores(rise_del, dens_del, "del")
+
+    # --- AIC ins/del (top-1-preserved binary response; AICTestFunctions) ---
+    aic_ins = monotone_normalize(ins.top1_is_target, 1.0, ins.baseline_top1,
+                                 "ins")
+    aic_del = monotone_normalize(dele.top1_is_target, 1.0, dele.baseline_top1,
+                                 "del")
+
+    # --- MoRF / LeRF raw responses (PosNegPertFunctions returns raw) ---
+    morf_res = dele.target_prob
+    lerf_res = lerf.target_prob
+
+    # --- Monotonicity (raw response vs ideal ramp; MonotonicityTest) ---
+    mono_pos = float(spearman(np.linspace(0, 1, n_steps + 1),
+                              ins.target_prob))
+    mono_neg = float(spearman(np.linspace(1, 0, n_steps + 1),
+                              dele.target_prob))
+
+    return {
+        "MAS_ins": float(auc(mas_ins)),
+        "MAS_del": float(auc(mas_del)),
+        "RISE_ins": float(auc(rise_ins)),
+        "RISE_del": float(auc(rise_del)),
+        "AIC_ins": float(auc(aic_ins)),
+        "AIC_del": float(auc(aic_del)),
+        "LERF_res": float(auc(lerf_res)),
+        "MORF_res": float(auc(morf_res)),
+        "MONO_pos": mono_pos,
+        "MONO_neg": mono_neg,
+    }
