@@ -8,14 +8,17 @@ from xai_tpu.models.common import ModelBundle, ModelMeta
 
 class TinyCNN(nn.Module):
     num_classes: int = 10
+    relu: callable = nn.relu
 
     @nn.compact
-    def __call__(self, x, taps=False):
+    def __call__(self, x, taps=False, probes=None):
         tap = {}
         x = nn.Conv(8, (3, 3), strides=(2, 2), name="c1")(x)
-        x = nn.relu(x)
+        x = self.relu(x)
         x = nn.Conv(16, (3, 3), strides=(2, 2), name="c2")(x)
-        x = nn.relu(x)
+        x = self.relu(x)
+        if probes is not None and "layer4" in probes:
+            x = x + probes["layer4"]
         tap["layer4"] = x
         x = x.mean(axis=(1, 2))
         logits = nn.Dense(self.num_classes, name="fc")(x)
@@ -37,8 +40,12 @@ def tiny_bundle(hw=16, num_classes=10, seed=0, batch_size=10):
     def apply_taps(p, x):
         return model.apply({"params": p}, x, taps=True)
 
+    def apply_probed(p, x, probes):
+        return model.apply({"params": p}, x, taps=True, probes=probes)
+
     return ModelBundle(meta=meta, params=params, apply=apply,
-                       apply_taps=apply_taps)
+                       apply_taps=apply_taps, apply_probed=apply_probed,
+                       extras={"model": model})
 
 
 def linear_bundle(hw=8, num_classes=4, seed=0):

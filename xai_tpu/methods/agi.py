@@ -1,0 +1,91 @@
+"""AGI — Adversarial Gradient Integration (util/attribution_methods/AGI.py).
+
+The reference runs targeted PGD ascent toward false classes on the
+*unnormalized* image (normalization composed into the model,
+evaluatePerturbation.py:126-127), accumulating ``-grad_label * Δx`` as the
+attribution, with a data-dependent early exit when the attack flips the
+prediction (AGI.py:62-63).
+
+TPU design: the PGD loop is a ``lax.fori_loop`` with a done-mask (fixed
+iteration count, masked updates), both softmax gradients come from one
+forward + two VJP pulls, and the whole per-target attack is jitted; the
+topk target classes vmap over the attack.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _make_norm_apply(apply_fn, mean, std):
+    mean = jnp.asarray(mean)
+    std = jnp.asarray(std)
+
+    def norm_apply(p, x):
+        return apply_fn(p, (x - mean) / std)
+
+    return norm_apply
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def _agi_attack(apply_fn, params, img, init_pred, targeted, max_iter,
+                epsilon):
+    """One targeted PGD attack; returns cumulative delta (AGI.py:52-80)."""
+
+    def probs_fn(x):
+        return jax.nn.softmax(apply_fn(params, x[None])[0])
+
+    def body(_, carry):
+        perturbed, c_delta, done = carry
+        probs, vjp = jax.vjp(probs_fn, perturbed)
+        pred = jnp.argmax(probs)
+        newly_done = pred == targeted
+        # grads of softmax[targeted] and softmax[init_pred]
+        g_adv = vjp(jax.nn.one_hot(targeted, probs.shape[0],
+                                   dtype=probs.dtype))[0]
+        g_lab = vjp(jax.nn.one_hot(init_pred, probs.shape[0],
+                                   dtype=probs.dtype))[0]
+        # fgsm_step (AGI.py:39-49): restart from the ORIGINAL image each
+        # iteration (the reference passes `image`, not `perturbed_image`)
+        new_pert = jnp.clip(img + epsilon * jnp.sign(g_adv), 0.0, 1.0)
+        delta = -g_lab * (new_pert - img)
+        active = jnp.logical_not(done | newly_done)
+        perturbed = jnp.where(active, new_pert, perturbed)
+        c_delta = jnp.where(active, c_delta + delta, c_delta)
+        return perturbed, c_delta, done | newly_done
+
+    _, c_delta, _ = jax.lax.fori_loop(
+        0, max_iter, body,
+        (img, jnp.zeros_like(img), jnp.asarray(False)))
+    return c_delta
+
+
+def agi(bundle, trans_img, epsilon: float = 0.05, topk: int = 1,
+        max_iter: int = 20) -> np.ndarray:
+    """Driver configuration (evaluatePerturbation.py:119-139): attack the
+    classes ``range(0, 999, 1000 // topk)``, sum deltas, then clip to the
+    [80, 99] percentile band and rescale.
+
+    trans_img: [H, W, 3] image in [0, 1] (unnormalized).  Returns [H, W]
+    saliency (the reference's channel-mean percentile map, :130-139).
+    """
+    x = jnp.asarray(trans_img)
+    napply = _make_norm_apply(bundle.apply, bundle.meta.mean, bundle.meta.std)
+    init_pred = int(jnp.argmax(napply(bundle.params, x[None])[0]))
+
+    selected = list(range(0, 999, int(1000 / topk)))
+    step_grad = jnp.zeros_like(x)
+    for t in selected:
+        if t == init_pred:
+            continue
+        step_grad = step_grad + _agi_attack(napply, bundle.params, x,
+                                            init_pred, t, max_iter, epsilon)
+
+    hm = np.asarray(step_grad).mean(axis=-1)        # channel mean
+    q = np.percentile(hm, 80)
+    u = np.percentile(hm, 99)
+    hm = np.clip(hm, q, u)
+    return (hm - q) / (u - q)

@@ -93,7 +93,11 @@ class ResNet(nn.Module):
     relu: Callable = nn.relu
 
     @nn.compact
-    def __call__(self, x, taps: bool = False):
+    def __call__(self, x, taps: bool = False, probes=None):
+        """``probes``: optional dict of zero tensors added to stage outputs
+        (e.g. {"layer4": zeros}); grad w.r.t. a probe == grad w.r.t. that
+        activation — the functional replacement for captum's LayerGradCam
+        hook on ``model.layer4`` (evaluatePerturbation.py:147-153)."""
         tap = {}
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, name="conv1")(x)
@@ -121,6 +125,8 @@ class ResNet(nn.Module):
                     name=f"layer{stage_idx + 1}_{b}",
                 )(y)
             in_planes = out_features
+            if probes is not None and f"layer{stage_idx + 1}" in probes:
+                y = y + probes[f"layer{stage_idx + 1}"]
             tap[f"layer{stage_idx + 1}"] = y
 
         y = jnp.mean(y, axis=(1, 2))
@@ -171,5 +177,9 @@ def make_bundle(arch_or_cli: str, params=None, key=None,
     def apply_taps(p, x):
         return model.apply({"params": p}, x, taps=True)
 
+    def apply_probed(p, x, probes):
+        return model.apply({"params": p}, x, taps=True, probes=probes)
+
     return ModelBundle(meta=meta, params=params, apply=apply,
-                       apply_taps=apply_taps)
+                       apply_taps=apply_taps, apply_probed=apply_probed,
+                       extras={"model": model})

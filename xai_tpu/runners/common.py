@@ -1,0 +1,92 @@
+"""Shared runner plumbing: model construction by CLI name, per-image gates,
+result CSV writing — the L5 layer (SURVEY §2.13) with the reference's flags.
+"""
+from __future__ import annotations
+
+import csv
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import resnet, vit
+from ..ops.blur import make_blur_fn
+from ..ops.preprocess import (IMAGENET_MEAN, IMAGENET_STD, VIT_MEAN, VIT_STD,
+                              normalize)
+
+# reference per-model batch sizes (evaluatePerturbation.py:627-677)
+MODEL_TABLE = {
+    "R50": ("cnn", 50), "R101": ("cnn", 50), "R152": ("cnn", 50),
+    "RNXT": ("cnn", 25),
+    "VIT16": ("vit", 25), "VIT32": ("vit", 50),
+}
+
+
+def build_bundle(model_name: str, params_path: Optional[str] = None,
+                 seed: int = 0):
+    """Construct the bundle for a reference CLI model name.  Pretrained
+    weights load from a converted pytree .npz/.msgpack if given; otherwise
+    deterministic random init (weights are irrelevant for the engine's
+    mechanics and for parity of the pipelines' structure)."""
+    family, batch = MODEL_TABLE[model_name]
+    key = jax.random.PRNGKey(seed)
+    if family == "cnn":
+        b = resnet.make_bundle(model_name, key=key, batch_size=batch)
+    else:
+        b = vit.make_bundle(model_name, key=key, batch_size=batch)
+    if params_path:
+        import pickle
+        with open(params_path, "rb") as f:
+            params = pickle.load(f)
+        b = type(b)(meta=b.meta, params=params, apply=b.apply,
+                    apply_taps=b.apply_taps, apply_probed=b.apply_probed,
+                    extras=b.extras)
+    return b
+
+
+def family_stats(family: str):
+    if family == "vit":
+        return VIT_MEAN, VIT_STD
+    return IMAGENET_MEAN, IMAGENET_STD
+
+
+def normalize_input(trans_img: np.ndarray, family: str) -> jnp.ndarray:
+    mean, std = family_stats(family)
+    return normalize(jnp.asarray(trans_img), mean, std)
+
+
+def image_gates(bundle, x, blur_fn):
+    """The reference's per-image sanity gates
+    (evaluatePerturbation.py:561-570): predictions for the original, blurred
+    and black images; the image is usable iff blur/black confidences are
+    lower and classes differ."""
+    probs = jax.nn.softmax(bundle.apply(bundle.params, x[None])[0])
+    target = int(jnp.argmax(probs))
+    original_pred = float(probs[target])
+    bl = jax.nn.softmax(bundle.apply(bundle.params, blur_fn(x[None]))[0])
+    blur_class, blur_pred = int(jnp.argmax(bl)), float(bl[target])
+    blur_own = float(bl[blur_class])
+    bk = jax.nn.softmax(
+        bundle.apply(bundle.params, jnp.zeros_like(x)[None])[0])
+    black_class, black_own = int(jnp.argmax(bk)), float(bk[int(jnp.argmax(bk))])
+    ok = not (blur_own >= original_pred or black_own >= original_pred
+              or target == black_class or target == blur_class)
+    return target, original_pred, ok
+
+
+def write_result_csv(folder: str, file_name: str, counters: dict,
+                     images_used: int, attr_time: float, total_time: float):
+    """Identical CSV layout to the reference (evaluatePerturbation.py:606-618)."""
+    os.makedirs(folder, exist_ok=True)
+    with open(os.path.join(folder, file_name + ".csv"), "w") as f:
+        w = csv.writer(f)
+        for k in counters:
+            w.writerow([k, str(counters[k] / images_used)])
+        w.writerow(["Attr Avg Runtime", str(attr_time / images_used)])
+        w.writerow(["Total Runtime", str(total_time)])
+
+
+def default_blur():
+    return jax.jit(make_blur_fn(31, 31.0))

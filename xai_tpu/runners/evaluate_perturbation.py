@@ -1,0 +1,116 @@
+"""Flagship driver: attribution -> 10-metric perturbation battery -> CSV.
+
+Same CLI flags and output layout as the reference's
+XAI_Survey/evaluations/evaluatePerturbation.py; `--cuda_num` is accepted and
+ignored (device selection is JAX's), and `--synthetic N` substitutes a
+deterministic random image stream when no ImageNet directory is available.
+
+Per-image flow (reference :520-599): sorted val stream -> correctly-
+classified filter -> sanity gates (blur/black predictions) -> class-balance
+quota -> attribution via the registry -> run_battery (3 fused device curve
+passes instead of 8 metric loops) -> accumulate -> CSV.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+import jax
+import numpy as np
+
+from ..data import ImageNetValStream, load_correct_mask
+from ..metrics import run_battery
+from ..registry import AttrContext, get_attribution
+from .common import (build_bundle, default_blur, image_gates, MODEL_TABLE,
+                     normalize_input, write_result_csv)
+
+
+def evaluate_perturbation(args) -> dict:
+    family, batch = MODEL_TABLE[args.model]
+    bundle = build_bundle(args.model, args.params_path)
+    blur = default_blur()
+
+    correct = load_correct_mask(args.class_maps_dir, args.model) \
+        if args.class_maps_dir else None
+
+    num_classes = 1000
+    images_per_class = int(np.ceil(args.image_count / num_classes))
+    classes_used = [0] * num_classes
+
+    stream = ImageNetValStream(args.dataset_path, synthetic=args.synthetic)
+    # plain-dict accumulation: the reference's `Counter +=` silently drops
+    # keys whose running sum is <= 0 (collections.Counter semantics); we keep
+    # every metric column
+    result = {}
+    images_used = 0
+    attr_time = 0.0
+    t0 = time.time()
+
+    for item in stream:
+        if images_used == args.image_count:
+            break
+        if correct is not None and correct[item.index] == 0:
+            continue
+        x = normalize_input(item.trans_img, family)
+        target, original_pred, ok = image_gates(bundle, x, blur)
+        if not ok and not args.synthetic:
+            continue
+        if classes_used[target] == images_per_class:
+            continue
+        classes_used[target] += 1
+
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), item.index)
+        ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
+                          target=target, key=key, img_hw=bundle.meta.img_hw)
+        t = time.time()
+        saliency = get_attribution(family, args.attr_func, ctx)
+        attr_time += time.time() - t
+
+        scores = run_battery(bundle.apply, bundle.params, np.asarray(x),
+                             saliency, blur, chunk=min(batch, 25),
+                             target=target)
+        for k, v in scores.items():
+            result[k] = result.get(k, 0.0) + v
+        images_used += 1
+        if args.verbose:
+            print(f"[{images_used}/{args.image_count}] {item.name} "
+                  f"cls={target} MAS_ins={scores['MAS_ins']:.4f}")
+
+    total_time = time.time() - t0
+    if images_used:
+        folder = os.path.join(args.output_dir, args.model)
+        write_result_csv(folder, f"{args.attr_func}_{args.image_count}_images",
+                         result, images_used, attr_time, total_time)
+    return {k: v / max(images_used, 1) for k, v in result.items()}
+
+
+def build_parser():
+    p = argparse.ArgumentParser("evaluate_perturbation")
+    p.add_argument("--image_count", type=int, default=1000)
+    p.add_argument("--model", type=str, default="R101",
+                   help="R50, R101, R152, RNXT, VIT16, VIT32")
+    p.add_argument("--attr_func", type=str, default="ig")
+    p.add_argument("--cuda_num", type=int, default=0,
+                   help="accepted for reference-CLI compat; ignored")
+    p.add_argument("--dataset_path", type=str, default="../../../ImageNet")
+    p.add_argument("--class_maps_dir", type=str, default="")
+    p.add_argument("--params_path", type=str, default="",
+                   help="converted pretrained pytree (pickle)")
+    p.add_argument("--output_dir", type=str, default="pert_test_results")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use N deterministic synthetic images (no dataset)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args, _ = build_parser().parse_known_args(argv)
+    scores = evaluate_perturbation(args)
+    print({k: round(v, 4) for k, v in scores.items()})
+
+
+if __name__ == "__main__":
+    main()
