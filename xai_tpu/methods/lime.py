@@ -1,0 +1,109 @@
+"""LIME image explanation — native reimplementation of the vendored LIME
+(util/attribution_methods/lime/: limeAttr.py + lime_image.py + lime_base.py).
+
+Pipeline (driver config, limeAttr.py:23-36): quickshift segments
+(kernel_size=4, max_dist=200, ratio=0.2) -> 1000 random binary segment masks
+(first = all-on) -> fudged images (off segments -> hide_color 0) -> batched
+softmax probs on device -> cosine-distance exponential kernel weights
+(width 0.25) -> weighted Ridge (alpha=1, intercept) per top-5 label ->
+binary mask of the top-5 positive-weight segments of the top label.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..native import quickshift
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _batch_probs(apply_fn, params, images, target_unused, chunk):
+    n = images.shape[0]
+
+    def one(xb):
+        return jax.nn.softmax(apply_fn(params, xb), axis=-1)
+
+    return jax.lax.map(one, images.reshape((n // chunk, chunk) +
+                                           images.shape[1:])).reshape(
+        n, -1)
+
+
+def _weighted_ridge(X, y, w, alpha=1.0):
+    """sklearn Ridge(alpha, fit_intercept=True) with sample weights."""
+    sw = np.sqrt(w)
+    Xw = X * sw[:, None]
+    yw = y * sw
+    # center by weighted means (intercept handling)
+    xm = (X * w[:, None]).sum(0) / w.sum()
+    ym = (y * w).sum() / w.sum()
+    Xc = (X - xm) * sw[:, None]
+    yc = (y - ym) * sw
+    A = Xc.T @ Xc + alpha * np.eye(X.shape[1])
+    coef = np.linalg.solve(A, Xc.T @ yc)
+    intercept = ym - xm @ coef
+    return coef, intercept
+
+
+def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
+         num_features: int = 5, kernel_width: float = 0.25,
+         hide_color: float = 0.0, chunk: int = 50,
+         normalize_input=None) -> np.ndarray:
+    """img: [H, W, 3] float in [0, 1] (the driver feeds the *unnormalized*
+    trans_img, limeAttr batch_predict re-normalizes implicitly via model —
+    actually the reference feeds raw [0,1] images straight to the model;
+    we apply ``normalize_input`` if given to match the bundle's expectations).
+    Returns [H, W] binary mask of the top positive segments."""
+    img = np.asarray(img, dtype=np.float32)
+    segments = quickshift(img, ratio=0.2, kernel_size=4.0, max_dist=200.0)
+    n_features = int(segments.max()) + 1
+
+    rs = np.random.RandomState(
+        int(jax.random.randint(key, (), 0, 2 ** 31 - 1)))
+    data = rs.randint(0, 2, num_samples * n_features).reshape(
+        (num_samples, n_features))
+    data[0, :] = 1
+
+    # build masked images on device: seg_onehot [H, W] int -> per-sample mask
+    seg = jnp.asarray(segments)
+    imgs_base = jnp.asarray(img)
+    fudged = jnp.full_like(imgs_base, hide_color)
+    rows = jnp.asarray(data, dtype=jnp.int32)
+
+    pad = (-num_samples) % chunk
+    rows_p = jnp.concatenate([rows, jnp.ones((pad, n_features), jnp.int32)])
+
+    def build(row):
+        on = row[seg]                                 # [H, W] 0/1
+        x = jnp.where(on[..., None] == 1, imgs_base, fudged)
+        if normalize_input is not None:
+            x = normalize_input(x)
+        return x
+
+    imgs = jax.vmap(build)(rows_p)
+    probs = np.asarray(_batch_probs(bundle.apply, bundle.params, imgs, None,
+                                    chunk))[:num_samples]
+
+    # cosine distances to the all-on row
+    norm = np.linalg.norm(data, axis=1)
+    cos = data @ data[0] / np.maximum(norm * np.linalg.norm(data[0]), 1e-12)
+    distances = 1.0 - cos
+    weights = np.sqrt(np.exp(-(distances ** 2) / kernel_width ** 2))
+
+    top = np.argsort(probs[0])[-top_labels:][::-1]
+    label = int(top[0])
+    coef, _ = _weighted_ridge(data.astype(np.float64), probs[:, label],
+                              weights)
+
+    order = np.argsort(np.abs(coef))[::-1]
+    mask = np.zeros(segments.shape, dtype=np.float32)
+    count = 0
+    for f in order:
+        if coef[f] > 0:
+            mask[segments == f] = 1.0
+            count += 1
+        if count == num_features:
+            break
+    return mask

@@ -50,6 +50,9 @@ class ModelBundle:
     # (replaces the reference's register_hook attention-gradient capture,
     # ViT_new_timm.py:239-240).
     apply_probed: Optional[Callable[[Any, jnp.ndarray, Any], tuple]] = None
+    # ViT only: (params, x, token_indices) -> logits with only CLS+selected
+    # patch tokens (TIS token dropping)
+    apply_tokens: Optional[Callable] = None
     extras: Any = None              # family-specific (e.g. CLIP text tower)
 
     # --- jitted conveniences (cached per bundle instance) ---

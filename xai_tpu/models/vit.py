@@ -107,7 +107,8 @@ class Block(nn.Module):
         mlp_val = nn.Dense(self.dim, name="mlp_fc2")(h)
         out = x_plus_attn + mlp_val
         tap = dict(atap)
-        tap.update({"block_in": x, "input_plus_attn": x_plus_attn,
+        tap.update({"block_in": x, "norm1_out": attn_in,
+                    "input_plus_attn": x_plus_attn,
                     "mlp_val": mlp_val, "block_out": out})
         return out, tap
 
@@ -116,7 +117,12 @@ class VisionTransformer(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x, probes: Optional[dict] = None, taps: bool = False):
+    def __call__(self, x, probes: Optional[dict] = None, taps: bool = False,
+                 token_indices: Optional[jnp.ndarray] = None):
+        """``token_indices``: optional [K] patch-token indices (0-based,
+        excluding CLS) to KEEP after the positional embedding — the
+        functional form of TIS's token-dropping pos_drop forward hook
+        (TIS.py:262-298).  CLS is always kept."""
         cfg = self.cfg
         B = x.shape[0]
         y = nn.Conv(cfg.embed_dim, (cfg.patch, cfg.patch),
@@ -132,6 +138,9 @@ class VisionTransformer(nn.Module):
         if probes is not None and "embed" in probes:
             y = y + probes["embed"]
         patch_embedding = y
+        if token_indices is not None:
+            y = jnp.concatenate([y[:, :1], y[:, 1:][:, token_indices]],
+                                axis=1)
 
         tap_list = []
         for i in range(cfg.depth):
@@ -206,6 +215,9 @@ def make_bundle(arch_or_cli: str, params=None, key=None,
     def apply_probed(p, x, probes):
         return model.apply({"params": p}, x, probes=probes, taps=True)
 
+    def apply_tokens(p, x, token_indices):
+        return model.apply({"params": p}, x, token_indices=token_indices)
+
     return ModelBundle(meta=meta, params=params, apply=apply,
                        apply_taps=apply_taps, apply_probed=apply_probed,
-                       extras=cfg)
+                       apply_tokens=apply_tokens, extras=cfg)

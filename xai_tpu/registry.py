@@ -85,7 +85,26 @@ CNN_METHODS: Dict[str, Callable] = {
                                                    c.key)),
     "rise": lambda c: np.abs(np.asarray(
         rise_fn(c.bundle, c.x, c.target, c.key))),
+    # xrai: segments from the normalized input, base attribution = IG
+    # (evaluatePerturbation.py:142-146)
+    "xrai": lambda c: np.abs(_xrai_entry(c)),
+    # lime: model runs on the UNNORMALIZED [0,1] image — a reference quirk
+    # (limeAttr.py:10-20 never applies the normalize transform); mask
+    # broadcast over 3 channels -> abs-sum = 3 * mask
+    "lime": lambda c: 3.0 * _lime_entry(c),
 }
+
+
+def _xrai_entry(ctx):
+    from .methods.xrai import xrai
+    base = np.asarray(G.ig(ctx.bundle, ctx.x, ctx.target, ctx.steps, 1.0,
+                           0.0))
+    return xrai(np.asarray(ctx.x), base)
+
+
+def _lime_entry(ctx):
+    from .methods.lime import lime
+    return lime(ctx.bundle, ctx.trans_img, ctx.key)
 
 
 def get_attribution(family: str, name: str, ctx: AttrContext) -> np.ndarray:

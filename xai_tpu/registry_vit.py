@@ -37,4 +37,19 @@ VIT_METHODS = {
         VE.rave(c.bundle, c.x, c.target), c.img_hw),
     "t_attr": lambda c: _upsample_abs(
         transformer_attribution(c.bundle, c.x, c.target), c.img_hw),
+    "TIS": lambda c: _tis_entry(c),
+    "VIT_CX": lambda c: _vit_cx_entry(c),
 }
+
+
+def _tis_entry(ctx):
+    from .methods.tis import tis
+    sal = tis(ctx.bundle, ctx.x, ctx.target, key=ctx.key)
+    return _upsample_abs(sal, ctx.img_hw)
+
+
+def _vit_cx_entry(ctx):
+    from .methods.vit_cx import vit_cx
+    # driver broadcasts over 3 channels then abs-sums -> 3 * map
+    sal = vit_cx(ctx.bundle, ctx.x, ctx.target, key=ctx.key)
+    return 3.0 * np.abs(sal)
