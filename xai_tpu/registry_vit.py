@@ -39,7 +39,34 @@ VIT_METHODS = {
         transformer_attribution(c.bundle, c.x, c.target), c.img_hw),
     "TIS": lambda c: _tis_entry(c),
     "VIT_CX": lambda c: _vit_cx_entry(c),
+    "MDA": lambda c: _mda_entry(c),
 }
+
+
+def _mda_entry(ctx):
+    import jax
+    import jax.numpy as jnp
+    from .methods.mda import mda
+    from .ops.blur import make_blur_fn
+
+    x = jnp.asarray(ctx.x)
+    # adaptive blur kernel: grow until the blurred image's confidence in the
+    # target drops below 1% (evaluatePerturbation.py:243-257)
+    klen = 31
+    while True:
+        blur_fn = make_blur_fn(klen, float(klen))
+        probs = jax.nn.softmax(
+            ctx.bundle.apply(ctx.bundle.params, blur_fn(x[None]))[0])
+        if float(probs[ctx.target]) * 100 <= 1 or klen > 101:
+            break
+        klen += 4
+    prior = VE.bidirectional(ctx.bundle, x, ctx.target)
+    prior_up = np.asarray(resize_bilinear(prior, (ctx.img_hw, ctx.img_hw)))
+    prior3 = np.repeat(prior_up[..., None], 3, axis=-1)
+    patch_count = ctx.bundle.meta.num_patches ** 2
+    m = mda(ctx.bundle, ctx.trans_img, x, prior3, patch_count, blur_fn,
+            target=ctx.target)
+    return 3.0 * np.abs(m)
 
 
 def _tis_entry(ctx):
