@@ -27,3 +27,17 @@ Layout (mirrors the reference's capability inventory, SURVEY.md §2):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# persistent compilation cache: successive runner invocations (the 232-run
+# sweep pattern) skip recompilation entirely
+_cache_dir = _os.environ.get("XAI_TPU_CACHE",
+                             _os.path.expanduser("~/.cache/xai_tpu_xla"))
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - older jax
+    pass

@@ -93,6 +93,54 @@ def vgg_from_torch(sd) -> dict:
     return params
 
 
+def _clip_block(sd, t):
+    return {
+        "ln_1": {"scale": _np(sd[f"{t}.ln_1.weight"]),
+                 "bias": _np(sd[f"{t}.ln_1.bias"])},
+        "ln_2": {"scale": _np(sd[f"{t}.ln_2.weight"]),
+                 "bias": _np(sd[f"{t}.ln_2.bias"])},
+        "attn": {
+            "in_proj": {"kernel": _dense(sd[f"{t}.attn.in_proj_weight"]),
+                        "bias": _np(sd[f"{t}.attn.in_proj_bias"])},
+            "out_proj": {"kernel": _dense(sd[f"{t}.attn.out_proj.weight"]),
+                         "bias": _np(sd[f"{t}.attn.out_proj.bias"])},
+        },
+        "mlp_c_fc": {"kernel": _dense(sd[f"{t}.mlp.c_fc.weight"]),
+                     "bias": _np(sd[f"{t}.mlp.c_fc.bias"])},
+        "mlp_c_proj": {"kernel": _dense(sd[f"{t}.mlp.c_proj.weight"]),
+                       "bias": _np(sd[f"{t}.mlp.c_proj.bias"])},
+    }
+
+
+def clip_from_torch(sd, vision_layers: int = 12, text_layers: int = 12
+                    ) -> dict:
+    """Convert an openai-CLIP state dict (clip.load naming)."""
+    visual = {
+        "conv1": {"kernel": _conv(sd["visual.conv1.weight"])},
+        "class_embedding": _np(sd["visual.class_embedding"]),
+        "positional_embedding": _np(sd["visual.positional_embedding"]),
+        "ln_pre": {"scale": _np(sd["visual.ln_pre.weight"]),
+                   "bias": _np(sd["visual.ln_pre.bias"])},
+        "ln_post": {"scale": _np(sd["visual.ln_post.weight"]),
+                    "bias": _np(sd["visual.ln_post.bias"])},
+        "proj": _np(sd["visual.proj"]),
+    }
+    for i in range(vision_layers):
+        visual[f"block{i}"] = _clip_block(
+            sd, f"visual.transformer.resblocks.{i}")
+    text = {
+        "token_embedding": _np(sd["token_embedding.weight"]),
+        "positional_embedding": _np(sd["positional_embedding"]),
+        "ln_final": {"scale": _np(sd["ln_final.weight"]),
+                     "bias": _np(sd["ln_final.bias"])},
+        "text_projection": _np(sd["text_projection"]),
+    }
+    for i in range(text_layers):
+        text[f"block{i}"] = _clip_block(sd, f"transformer.resblocks.{i}")
+    return {"visual": visual, "text": text,
+            "logit_scale": _np(sd["logit_scale"])}
+
+
 def vit_from_torch(sd, depth: int = 12) -> dict:
     """Convert a timm-style ViT state dict (ViT_new_timm.py naming)."""
     params = {

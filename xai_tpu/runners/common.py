@@ -12,15 +12,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import resnet, vit
+from ..models import clip as clipmod
 from ..ops.blur import make_blur_fn
-from ..ops.preprocess import (IMAGENET_MEAN, IMAGENET_STD, VIT_MEAN, VIT_STD,
-                              normalize)
+from ..ops.preprocess import (CLIP_MEAN, CLIP_STD, IMAGENET_MEAN,
+                              IMAGENET_STD, VIT_MEAN, VIT_STD, normalize)
 
 # reference per-model batch sizes (evaluatePerturbation.py:627-677)
 MODEL_TABLE = {
     "R50": ("cnn", 50), "R101": ("cnn", 50), "R152": ("cnn", 50),
     "RNXT": ("cnn", 25),
     "VIT16": ("vit", 25), "VIT32": ("vit", 50),
+    "CLIP16": ("clip", 25), "CLIP32": ("clip", 50),
 }
 
 
@@ -34,6 +36,8 @@ def build_bundle(model_name: str, params_path: Optional[str] = None,
     key = jax.random.PRNGKey(seed)
     if family == "cnn":
         b = resnet.make_bundle(model_name, key=key, batch_size=batch)
+    elif family == "clip":
+        b = clipmod.make_bundle(model_name, key=key, batch_size=batch)
     else:
         b = vit.make_bundle(model_name, key=key, batch_size=batch)
     if params_path:
@@ -49,6 +53,8 @@ def build_bundle(model_name: str, params_path: Optional[str] = None,
 def family_stats(family: str):
     if family == "vit":
         return VIT_MEAN, VIT_STD
+    if family == "clip":
+        return CLIP_MEAN, CLIP_STD
     return IMAGENET_MEAN, IMAGENET_STD
 
 

@@ -1,0 +1,96 @@
+"""Segmentation driver: attribution as binary segmentation vs ground-truth
+masks -> pixAcc / mIoU / mAP / mF1 -> TXT.
+
+Mirrors XAI_Survey/evaluations/evaluateImageNetSeg.py: per (image, mask):
+attribution -> minmax normalize -> threshold at the mean -> binary channels
+-> accumulate (:470-573); output TXT format identical.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.segmentation import ImagenetSegmentation
+from ..metrics.seg import eval_batch
+from ..registry import AttrContext, get_attribution
+from .common import MODEL_TABLE, build_bundle, normalize_input
+
+
+def evaluate_imagenet_seg(args) -> dict:
+    family, batch = MODEL_TABLE[args.model]
+    bundle = build_bundle(args.model, args.params_path)
+
+    ds = ImagenetSegmentation(args.dataset_path, synthetic=args.synthetic)
+    total_inter = np.zeros(2, np.int64)
+    total_union = np.zeros(2, np.int64)
+    total_correct = np.int64(0)
+    total_label = np.int64(0)
+    total_ap, total_f1 = [], []
+
+    for i, item in enumerate(ds):
+        if args.image_count and i >= args.image_count:
+            break
+        x = normalize_input(item.trans_img, family)
+        target = int(jnp.argmax(bundle.apply(bundle.params, x[None])[0]))
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+        ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
+                          target=target, key=key,
+                          img_hw=bundle.meta.img_hw)
+        sal = get_attribution(family, args.attr_func, ctx)
+        correct, labeled, inter, union, ap, f1 = eval_batch(sal,
+                                                            item.gt_mask)
+        total_correct += np.int64(correct)
+        total_label += np.int64(labeled)
+        total_inter += inter.astype(np.int64)
+        total_union += union.astype(np.int64)
+        total_ap.append(ap)
+        total_f1.append(f1)
+        if args.verbose:
+            pixacc = total_correct / (np.spacing(1) + total_label)
+            miou = (total_inter / (np.spacing(1) + total_union)).mean()
+            print(f"[{i + 1}] pixAcc {pixacc:.4f} mIoU {miou:.4f}")
+
+    pixAcc = float(total_correct / (np.spacing(1) + total_label))
+    mIoU = float((total_inter / (np.spacing(1) + total_union)).mean())
+    mAp = float(np.mean(total_ap)) if total_ap else 0.0
+    mF1 = float(np.mean(total_f1)) if total_f1 else 0.0
+
+    folder = os.path.join(args.output_dir, args.model)
+    os.makedirs(folder, exist_ok=True)
+    fn = os.path.join(folder, f"{args.attr_func}_{args.image_count}_images")
+    with open(fn, "w") as fh:
+        fh.write("Mean IoU over %d classes: %.4f\n" % (2, mIoU))
+        fh.write("Pixel-wise Accuracy: %2.2f%%\n" % (pixAcc * 100))
+        fh.write("Mean AP over %d classes: %.4f\n" % (2, mAp))
+        fh.write("Mean F1 over %d classes: %.4f\n" % (2, mF1))
+    return {"pixAcc": pixAcc, "mIoU": mIoU, "mAP": mAp, "mF1": mF1}
+
+
+def build_parser():
+    p = argparse.ArgumentParser("evaluate_imagenet_seg")
+    p.add_argument("--image_count", type=int, default=0,
+                   help="0 = full dataset")
+    p.add_argument("--model", type=str, default="R101")
+    p.add_argument("--attr_func", type=str, default="ig")
+    p.add_argument("--cuda_num", type=int, default=0)
+    p.add_argument("--dataset_path", type=str,
+                   default="gtsegs_ijcv.mat")
+    p.add_argument("--params_path", type=str, default="")
+    p.add_argument("--output_dir", type=str, default="seg_test_results")
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args, _ = build_parser().parse_known_args(argv)
+    print({k: round(v, 4) for k, v in evaluate_imagenet_seg(args).items()})
+
+
+if __name__ == "__main__":
+    main()

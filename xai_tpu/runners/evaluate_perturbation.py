@@ -62,8 +62,20 @@ def evaluate_perturbation(args) -> dict:
         classes_used[target] += 1
 
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), item.index)
+        extras = None
+        if family == "clip":
+            # target caption embedding + token ids for the probed methods
+            te = bundle.extras["text_embeddings"]
+            extras = {
+                "txt_emb": te[target][None],
+                # SOT, class token, EOT, pad — placeholder ids until a real
+                # BPE vocab is supplied (argmax -> EOT position as in CLIP)
+                "text_tokens": np.array([[49406, target % 49405, 49407, 0]],
+                                        dtype=np.int32),
+            }
         ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
-                          target=target, key=key, img_hw=bundle.meta.img_hw)
+                          target=target, key=key, img_hw=bundle.meta.img_hw,
+                          extras=extras)
         t = time.time()
         saliency = get_attribution(family, args.attr_func, ctx)
         attr_time += time.time() - t
