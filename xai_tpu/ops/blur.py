@@ -44,7 +44,14 @@ def gaussian_blur(x: jnp.ndarray, klen: int = 31, nsig: float = 31.0
     )
 
 
-def make_blur_fn(klen: int = 31, nsig: float = 31.0):
+def make_blur_fn(klen: int = 31, nsig: float = 31.0,
+                 separable: bool = True):
     """jit-ready substrate_fn(x_nhwc) -> blurred, the metric battery's
-    insertion substrate (evaluatePerturbation.py:456-471)."""
+    insertion substrate (evaluatePerturbation.py:456-471).
+
+    The kernel is rank-1 to ~1e-10, so the default path runs two 1-D convs
+    (klen*2 MACs/px instead of klen^2 — see kernels/blur_pallas.py)."""
+    if separable:
+        from ..kernels.blur_pallas import separable_blur
+        return functools.partial(separable_blur, klen=klen, nsig=nsig)
     return functools.partial(gaussian_blur, klen=klen, nsig=nsig)

@@ -1,0 +1,113 @@
+"""The older ViT-focused segmentation driver
+(XAI_Survey/evaluations/imagenet_seg_eval.py): same pixAcc/mIoU/mAP/mF1
+accumulation plus the research knobs — ``--method`` covering the ViT
+explainers, SHAP (ShapleyValueSampling over the patch grid), MDA variants,
+and ``Calibrate_Best_Possible`` (the MASCalibrator upper bound, :172-194) —
+with ``--thr`` / ``--kappa`` style options.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.segmentation import ImagenetSegmentation
+from ..metrics.seg import eval_batch
+from ..registry import AttrContext, get_attribution
+from .common import MODEL_TABLE, build_bundle, normalize_input
+
+
+def _get_attr(args, bundle, family, ctx):
+    if args.method == "shap":
+        from ..methods.ablation import shapley_sampling
+        from ..methods.gradient import to_saliency
+        return to_saliency(shapley_sampling(ctx.bundle, ctx.x, ctx.target,
+                                            ctx.key))
+    if args.method == "Calibrate_Best_Possible":
+        from ..methods.mas_calibrate import refine_attribution
+        from ..native import slic
+        seg = slic(np.asarray(ctx.trans_img, np.float32),
+                   bundle.meta.num_patches ** 2 or 196, 10000.0)
+        base = np.repeat(
+            np.asarray(get_attribution(family, "rollout", ctx))[..., None],
+            3, axis=-1)
+        refined, smoothed = refine_attribution(
+            bundle, np.asarray(ctx.x), base, epochs=args.epochs,
+            segments=seg)
+        return np.abs(smoothed.sum(-1))
+    return get_attribution(family, args.method, ctx)
+
+
+def run(args) -> dict:
+    family, _ = MODEL_TABLE[args.model]
+    bundle = build_bundle(args.model, args.params_path)
+    ds = ImagenetSegmentation(args.dataset_path, synthetic=args.synthetic)
+
+    total_inter = np.zeros(2, np.int64)
+    total_union = np.zeros(2, np.int64)
+    total_correct = np.int64(0)
+    total_label = np.int64(0)
+    total_ap, total_f1 = [], []
+    for i, item in enumerate(ds):
+        if args.image_count and i >= args.image_count:
+            break
+        x = normalize_input(item.trans_img, family)
+        target = int(jnp.argmax(bundle.apply(bundle.params, x[None])[0]))
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+        ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
+                          target=target, key=key,
+                          img_hw=bundle.meta.img_hw)
+        sal = _get_attr(args, bundle, family, ctx)
+        correct, labeled, inter, union, ap, f1 = eval_batch(sal,
+                                                            item.gt_mask)
+        total_correct += np.int64(correct)
+        total_label += np.int64(labeled)
+        total_inter += inter.astype(np.int64)
+        total_union += union.astype(np.int64)
+        total_ap.append(ap)
+        total_f1.append(f1)
+
+    pixAcc = float(total_correct / (np.spacing(1) + total_label))
+    mIoU = float((total_inter / (np.spacing(1) + total_union)).mean())
+    mAp = float(np.mean(total_ap)) if total_ap else 0.0
+    mF1 = float(np.mean(total_f1)) if total_f1 else 0.0
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir,
+                           f"{args.model}_{args.method}.txt"), "w") as fh:
+        fh.write("Mean IoU over %d classes: %.4f\n" % (2, mIoU))
+        fh.write("Pixel-wise Accuracy: %2.2f%%\n" % (pixAcc * 100))
+        fh.write("Mean AP over %d classes: %.4f\n" % (2, mAp))
+        fh.write("Mean F1 over %d classes: %.4f\n" % (2, mF1))
+    return {"pixAcc": pixAcc, "mIoU": mIoU, "mAP": mAp, "mF1": mF1}
+
+
+def build_parser():
+    p = argparse.ArgumentParser("imagenet_seg_eval")
+    p.add_argument("--method", type=str, default="rollout",
+                   help="ViT explainers + shap + Calibrate_Best_Possible")
+    p.add_argument("--model", type=str, default="VIT16")
+    p.add_argument("--image_count", type=int, default=0)
+    p.add_argument("--thr", type=float, default=0.0,
+                   help="fixed threshold; 0 = mean threshold")
+    p.add_argument("--kappa", type=float, default=0.005)
+    p.add_argument("--acc_cutoff", type=float, default=0.9)
+    p.add_argument("--epochs", type=int, default=25)
+    p.add_argument("--dataset_path", type=str, default="gtsegs_ijcv.mat")
+    p.add_argument("--params_path", type=str, default="")
+    p.add_argument("--output_dir", type=str, default="seg_eval_results")
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cuda_num", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args, _ = build_parser().parse_known_args(argv)
+    print({k: round(v, 4) for k, v in run(args).items()})
+
+
+if __name__ == "__main__":
+    main()
