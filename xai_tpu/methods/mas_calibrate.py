@@ -24,6 +24,7 @@ import optax
 
 from ..metrics.curves import pixel_flip_steps, patch_flip_steps, \
     reveal_curves
+from ..native import project_curve
 from ..ops.blur import make_blur_fn
 from ..ops.resize import resize_bilinear, resize_nearest_exact
 from ..ops.stats import auc
@@ -151,6 +152,102 @@ def heuristic_lr(attr_3c) -> float:
     elif total < 10000:
         lr = 0.01
     return lr
+
+
+def mas_response(bundle, x, attr_3c, mode, segments=None,
+                 special_version=False, blur_fn=None):
+    """The MAS preprocess=1 path (MASCalibrate.py:1286-1287): just the
+    normalized model response."""
+    sal2d = np.abs(np.asarray(attr_3c).sum(-1))
+    _, resp, _ = _prep(bundle, np.asarray(x), sal2d, mode, segments,
+                       None, blur_fn, special_version=special_version)
+    return resp
+
+
+def calibrate_density(bundle, x, attr_3c, total_steps=None, mode="del",
+                      blur_fn=None, special_version=False):
+    """calibrate_density (MASCalibrate.py:985-1050): QP-project the
+    normalized response, then rebuild a map whose per-step density equals
+    the projected response derivative along the salient order."""
+    x = np.asarray(x)
+    H = x.shape[0]
+    total_steps = total_steps or H
+    step_size = int(H * H / total_steps)
+    n_steps = (H * H + step_size - 1) // step_size
+    resp = mas_response(bundle, x, attr_3c, mode, blur_fn=blur_fn,
+                        special_version=special_version)
+    resp = project_curve(np.asarray(resp, np.float64), mode)
+
+    sal2d = np.abs(np.asarray(attr_3c).sum(-1))
+    flat = sal2d.reshape(-1)
+    order = np.flip(np.argsort(flat.reshape(1, -1), axis=1), axis=-1)[0]
+    new_map = np.zeros(H * H)
+    for i in range(1, n_steps + 1):
+        if mode == "del":
+            t = resp[i - 1] - resp[i]
+        else:
+            t = resp[i] - resp[i - 1]
+        coords = order[step_size * (i - 1): step_size * i]
+        new_map[coords] = (1.0 / len(coords)) * t
+    return np.repeat(new_map.reshape(H, H, 1), 3, axis=2)
+
+
+def remove_pixels(bundle, x, attr_3c, total_steps=None, mode="del",
+                  segments=None, blur_fn=None, special_version=False):
+    """remove_pixels (MASCalibrate.py:1051-1094): zero the attribution in
+    the reveal-order tail where the response derivative is already 0."""
+    x = np.asarray(x)
+    H = x.shape[0]
+    total_steps = total_steps or H
+    resp = np.asarray(mas_response(bundle, x, attr_3c, mode, segments,
+                                   special_version, blur_fn))
+    if mode == "del":
+        deriv = np.abs(np.diff(np.insert(resp, 0, 1.0)))
+    else:
+        deriv = np.abs(np.diff(np.insert(resp, 1, 0.0)))
+
+    sal2d = np.abs(np.asarray(attr_3c).sum(-1))
+    flat = sal2d.reshape(-1).copy()
+    nz = np.where(deriv != 0)[0]
+    start_step = nz[-1] if len(nz) else 0
+    if segments is None:
+        step_size = int(H * H / total_steps)
+        n_steps = (H * H + step_size - 1) // step_size
+        order = np.flip(np.argsort(flat.reshape(1, -1), axis=1), axis=-1)[0]
+        for i in range(int(start_step), n_steps):
+            coords = order[step_size * (i - 1): step_size * i]
+            flat[coords] = 0.0
+    else:
+        seg = np.asarray(segments).reshape(-1)
+        n_steps = int(seg.max()) + 1
+        means = np.bincount(seg, weights=flat, minlength=n_steps) / \
+            np.maximum(np.bincount(seg, minlength=n_steps), 1)
+        order = np.flip(np.argsort(means))
+        for i in range(int(start_step), n_steps):
+            flat[seg == order[i - 1]] = 0.0
+    return np.repeat(flat.reshape(H, H, 1), 3, axis=2)
+
+
+def find_deletion_from_insertion_informed_ultimate(
+        bundle, x, segments, prior_segmented, beginning_order, blur_fn,
+        n_searches, kappa: float = 0.005, **kw):
+    """MASCalibrate.py:748-983 — algorithmically identical to
+    MDAFunctions.find_deletion_patches but returning the (sparse, dense)
+    map pair; delegates to the shared greedy machinery."""
+    from .mda import find_deletion_patches
+    sparse, _, dense = find_deletion_patches(
+        bundle, x, segments, prior_segmented, beginning_order, blur_fn,
+        n_searches, kappa=kappa, **kw)
+    return sparse, dense
+
+
+def find_best_segment_reverse_informed(bundle, x, prior_segmented, segments,
+                                       blur_fn, n_searches, **kw):
+    """MASCalibrate.py:81-299 — the prior-informed insertion search;
+    delegates to the shared greedy machinery (MDAFunctions equivalent)."""
+    from .mda import find_insertion_patches
+    return find_insertion_patches(bundle, x, prior_segmented, segments,
+                                  blur_fn, n_searches, **kw)
 
 
 def refine_attribution(bundle, x, saliency_3c, lr=None, smoothing=False,

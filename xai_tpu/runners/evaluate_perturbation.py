@@ -115,12 +115,19 @@ def build_parser():
                    help="use N deterministic synthetic images (no dataset)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a jax.profiler trace of the run here")
     return p
 
 
 def main(argv=None):
     args, _ = build_parser().parse_known_args(argv)
-    scores = evaluate_perturbation(args)
+    if getattr(args, "profile_dir", ""):
+        import jax
+        with jax.profiler.trace(args.profile_dir):
+            scores = evaluate_perturbation(args)
+    else:
+        scores = evaluate_perturbation(args)
     print({k: round(v, 4) for k, v in scores.items()})
 
 
