@@ -1,0 +1,94 @@
+"""Tests for pgd_attack, xrai_fast, LRP variants, embeddings capture."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from xai_tpu.methods.adversarial import pgd_attack
+from xai_tpu.methods.xrai import xrai_fast, xrai_full
+from xai_tpu.methods import vit_lrp as VL
+from xai_tpu.metrics.classic import MASMetric
+
+from tiny_models import tiny_bundle
+
+HW = 16
+
+
+def test_pgd_attack_ball_and_effect():
+    b = tiny_bundle(hw=HW)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, HW, HW, 3), jnp.float32)
+    labels = jnp.asarray([1, 2])
+    adv = pgd_attack(b.apply, b.params, x, labels, eps=0.1, iters=5)
+    d = np.abs(np.asarray(adv - x))
+    assert d.max() <= 0.1 + 1e-6
+    assert np.asarray(adv).min() >= 0 and np.asarray(adv).max() <= 1
+    # loss increased (attack ascends CE)
+    def ce(imgs):
+        lg = b.apply(b.params, imgs)
+        lp = jax.nn.log_softmax(lg)
+        return float(-jnp.take_along_axis(lp, labels[:, None], 1).mean())
+    assert ce(adv) >= ce(x) - 1e-5
+
+
+def test_xrai_fast_close_to_full_on_disjoint_segments():
+    rs = np.random.RandomState(1)
+    attr = rs.rand(32, 32)
+    segs = []
+    for i in range(4):
+        for j in range(4):
+            m = np.zeros((32, 32), bool)
+            m[i * 8:(i + 1) * 8, j * 8:(j + 1) * 8] = True
+            segs.append(m)
+    a = xrai_full(attr, segs, min_pixel_diff=1)
+    b = xrai_fast(attr, segs, min_pixel_diff=1)
+    # disjoint segments: both reduce to per-segment means
+    assert np.allclose(a, b)
+
+
+@pytest.fixture(scope="module")
+def small_vit():
+    from xai_tpu.models import vit as vitmod
+    from xai_tpu.models.common import ModelBundle, ModelMeta
+    cfg = vitmod.ViTConfig(patch=8, embed_dim=32, depth=2, num_heads=4,
+                           num_classes=9, img_hw=32)
+    model = vitmod.VisionTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    meta = ModelMeta(name="v", family="vit", img_hw=32, num_classes=9,
+                     num_patches=4)
+    return ModelBundle(
+        meta=meta, params=params,
+        apply=lambda p, x: model.apply({"params": p}, x),
+        apply_taps=lambda p, x: model.apply({"params": p}, x, taps=True),
+        apply_probed=lambda p, x, pr: model.apply({"params": p}, x,
+                                                  probes=pr, taps=True),
+        extras=cfg)
+
+
+def test_lrp_variants(small_vit):
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 32, 32, 3),
+                    jnp.float32)
+    ro = VL.lrp_rollout(small_vit, x, 3)
+    assert ro.shape == (4, 4) and np.isfinite(np.asarray(ro)).all()
+    ll = VL.lrp_layer(small_vit, x, 3, layer=-1)
+    assert ll.shape == (4, 4)
+    la = VL.lrp_layer(small_vit, x, 3, layer=1, is_ablation=True)
+    assert la.shape == (4, 4)
+    full = VL.lrp_full(small_vit, x, 3)
+    assert full.shape == (32, 32)
+    assert np.isfinite(np.asarray(full)).all()
+    assert float(jnp.abs(full).sum()) > 0
+
+
+def test_mas_embeddings_capture(small_vit):
+    rs = np.random.RandomState(3)
+    x = rs.randn(32, 32, 3).astype(np.float32)
+    sal = rs.rand(32, 32)
+    m = MASMetric(small_vit, 32 * 32, "del", 32, lambda im: im * 0.0)
+    embs, classes, resp, flip = m.single_run_embeddings(x, sal,
+                                                        max_batch_size=11)
+    assert embs.shape == (2, 33, 17, 32)       # [L, steps+1, N, D]
+    assert classes.shape == (33,)
+    assert resp.shape == (33,)
+    assert np.isfinite(embs).all()

@@ -88,7 +88,7 @@ def _layernorm(x, p, eps=1e-6):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _attn_cams(apply_probed, cfg, params, x, target):
+def _attn_cams_and_bottom(apply_probed, cfg, params, x, target):
     """Full relprop sweep; returns per-block attention relevance
     [L, B, H, N, N] plus the taps needed afterwards."""
     logits, taps = apply_probed(params, x, None)
@@ -145,7 +145,87 @@ def _attn_cams(apply_probed, cfg, params, x, target):
         cam2 = _linear_rp(cam_qkv, n1, p["attn"]["qkv"]["kernel"])
         cam = _clone_rp(cam1, cam2, xin)
 
-    return jnp.stack(attn_cams[::-1])               # [L, B, H, N, N]
+    return jnp.stack(attn_cams[::-1]), cam, taps    # cams, bottom relevance
+
+
+def _attn_cams(apply_probed, cfg, params, x, target):
+    cams, _, _ = _attn_cams_and_bottom(apply_probed, cfg, params, x, target)
+    return cams
+
+
+def lrp_rollout(bundle, x, target, start_layer: int = 0):
+    """relprop method='rollout' (ViT_LRP_timm.py:651-661): positive
+    head-mean attention relevance rolled out with the residual rule."""
+    xb = jnp.asarray(x)
+    if xb.ndim == 3:
+        xb = xb[None]
+    cams = _attn_cams(bundle.apply_probed, bundle.extras, bundle.params, xb,
+                      target)
+    mats = jnp.clip(cams, 0).mean(axis=2)
+    ro = rollout_residual(mats, start_layer)[0, 0]
+    return _cls_patch_grid(ro, ro.shape[-1])
+
+
+def lrp_layer(bundle, x, target, layer: int = -1,
+              is_ablation: bool = False):
+    """relprop method='last_layer'/'second_layer'
+    (ViT_LRP_timm.py:726-745): one block's attention relevance CLS row,
+    optionally gradient-weighted."""
+    xb = jnp.asarray(x)
+    if xb.ndim == 3:
+        xb = xb[None]
+    cams = _attn_cams(bundle.apply_probed, bundle.extras, bundle.params, xb,
+                      target)
+    cam = cams[layer][0]
+    if is_ablation:
+        _, grads = collect(bundle, xb, target)
+        cam = grads[layer][0] * cam
+    cam = jnp.clip(cam, 0).mean(axis=0)
+    return _cls_patch_grid(cam[0], cam.shape[-1])
+
+
+def _conv_zb_rp(R_tokens, x_img, kernel, patch: int):
+    """z^B rule for the patch-embedding conv (layers_ours.py Conv2d branch
+    for 3-channel inputs): bounds L/H are the global input min/max."""
+    pw = jnp.clip(kernel, 0, None)
+    nw = jnp.clip(kernel, None, 0)
+    L = jnp.full_like(x_img, x_img.min())
+    H = jnp.full_like(x_img, x_img.max())
+
+    def conv(v, w):
+        return jax.lax.conv_general_dilated(
+            v, w, (patch, patch), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    Za = conv(x_img, kernel) - conv(L, pw) - conv(H, nw) + 1e-9
+    S = R_tokens / Za
+
+    def convT(s, w):
+        _, vjp = jax.vjp(lambda v: conv(v, w), x_img)
+        return vjp(s)[0]
+
+    return x_img * convT(S, kernel) - L * convT(S, pw) - H * convT(S, nw)
+
+
+def lrp_full(bundle, x, target):
+    """relprop method='full' (ViT_LRP_timm.py:645-651): relevance propagated
+    through the positional-embedding Add and the patch-embedding conv (z^B
+    rule) back to the pixels.  Returns [H, W] (channel-summed)."""
+    xb = jnp.asarray(x)
+    if xb.ndim == 3:
+        xb = xb[None]
+    cfg = bundle.extras
+    _, bottom, taps = _attn_cams_and_bottom(bundle.apply_probed, cfg,
+                                            bundle.params, xb, target)
+    pos = bundle.params["pos_embed"]
+    x0 = taps["patch_embedding"] - pos               # tokens pre-pos-add
+    cam_x, _ = _add_rp(bottom, x0, jnp.broadcast_to(pos, x0.shape))
+    cam_patches = cam_x[:, 1:]                       # drop CLS
+    P = cfg.grid
+    R_tokens = cam_patches.reshape(xb.shape[0], P, P, cfg.embed_dim)
+    R_img = _conv_zb_rp(R_tokens, xb,
+                        bundle.params["patch_embed"]["kernel"], cfg.patch)
+    return R_img[0].sum(-1)
 
 
 def transformer_attribution(bundle, x, target, start_layer: int = 0):

@@ -98,6 +98,27 @@ def xrai_full(attr: np.ndarray, segs: list, area_perc_th: float = 1.0,
     return output_attr
 
 
+def xrai_fast(attr: np.ndarray, segs: list,
+              min_pixel_diff: int = 50) -> np.ndarray:
+    """_xrai_fast (XRAIBuilder.py:714-788): rank all masks by gain density
+    once (ignoring overlap), then assign diff-gains in that order."""
+    output_attr = -np.inf * np.ones(attr.shape, dtype=float)
+    current_mask = np.zeros(attr.shape, dtype=bool)
+    gains = [_gain_density(m, attr) for m in segs]
+    order = sorted(range(len(segs)), key=lambda i: -gains[i])
+    for i in order:
+        added = segs[i]
+        diff = added & ~current_mask
+        if int(diff.sum()) < min_pixel_diff:
+            continue
+        output_attr[diff] = _gain_density(diff, attr)
+        current_mask |= added
+    uncomputed = output_attr == -np.inf
+    if uncomputed.any():
+        output_attr[uncomputed] = _gain_density(uncomputed, attr)
+    return output_attr
+
+
 def xrai(img_for_segments: np.ndarray,
          base_attribution: np.ndarray) -> np.ndarray:
     """GetMask with precomputed base attribution (the driver's only path).

@@ -71,6 +71,66 @@ class MASMetric(_RevealMetric):
         corrected = mas_scores(norm, dens, mode)
         return n_steps + 1, corrected, out.entropy, dens, norm
 
+    def single_run_embeddings(self, img_tensor, saliency_map,
+                              patch_mask=None, max_batch_size=8):
+        """return_embeddings=True path (MASTestFunctions.py:370-381):
+        (embeddings [L, steps+1, N, D], classes, model_response,
+        salient_order-equivalent flip schedule)."""
+        img = jnp.asarray(img_tensor)
+        if img.ndim == 4:
+            img = img[0]
+        sub = self.substrate_fn(img[None])
+        sub = jnp.asarray(sub)[0] if sub.ndim == 4 else jnp.asarray(sub)
+        if patch_mask is None:
+            n_steps = (self.HW + self.step_size - 1) // self.step_size
+            flip = pixel_flip_steps(saliency_map, self.step_size, True)
+        else:
+            n_steps = len(np.unique(np.asarray(patch_mask)))
+            flip = patch_flip_steps(saliency_map, patch_mask, True)
+        deletion = self.mode in ("del", "morf", "lerf")
+        start, finish = (img, sub) if deletion else (sub, img)
+        embs, classes = _embeddings_sweep(self.bundle, start, finish, flip,
+                                          n_steps, chunk=max_batch_size)
+        target = int(jnp.argmax(
+            self.bundle.apply(self.bundle.params, img[None])[0]))
+        out = reveal_curves(self.bundle.apply, self.bundle.params, start,
+                            finish, flip, n_steps, target,
+                            chunk=min(max_batch_size, 25),
+                            original_img=img)
+        return embs, classes, out.target_prob, flip
+
+
+def _embeddings_sweep(bundle, start, finish, flip, n_steps, chunk=8):
+    """ViT-embedding capture mode (MASTestFunctions.py:121-132, 283-295):
+    per reveal step, every block's token embeddings + the predicted class."""
+    import jax
+    import functools as ft
+
+    H = start.shape[0]
+    mask_hw = jnp.asarray(flip).reshape(H, H, 1)
+
+    @ft.partial(jax.jit, static_argnums=())
+    def batch_taps(steps):
+        def one(s):
+            img = jnp.where(mask_hw <= s, finish, start)
+            logits, taps = bundle.apply_taps(bundle.params, img[None])
+            return taps["block_out"][:, 0], jnp.argmax(logits[0])
+        return jax.vmap(one)(steps)
+
+    total = n_steps + 1
+    pad = (-total) % chunk
+    steps = jnp.concatenate(
+        [jnp.arange(total, dtype=jnp.int32),
+         jnp.zeros(pad, jnp.int32)]).reshape(-1, chunk)
+    embs, classes = [], []
+    for chunk_steps in steps:
+        e, c = batch_taps(chunk_steps)
+        embs.append(np.asarray(e))
+        classes.append(np.asarray(c))
+    embs = np.concatenate(embs)[:total]        # [steps+1, L, N, D]
+    classes = np.concatenate(classes)[:total]
+    return embs.transpose(1, 0, 2, 3), classes  # [L, steps+1, N, D]
+
 
 class RISEMetric(_RevealMetric):
     def single_run(self, img_tensor, saliency_map, device=None,
