@@ -87,17 +87,34 @@ def inp_x_grad(bundle, x, target) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def ig(bundle, x, target, steps: int = 50, alpha_star: float = 1.0,
-       baseline=0.0, chunk: int = None) -> jnp.ndarray:
+       baseline=0.0, chunk: int = None, dtype=None) -> jnp.ndarray:
     """Integrated Gradients; ``alpha_star < 1`` gives LIG (LeftIG): truncate
     the Riemann sum at the first step whose logit exceeds
-    alpha_star * max_logit (saliencyMethods.py:48-67)."""
+    alpha_star * max_logit (saliencyMethods.py:48-67).
+
+    ``dtype=jnp.bfloat16`` runs the fwd+VJP sweep in bf16 (4x the f32 MXU
+    peak on v5e); the Riemann mean and the (x - baseline) product stay f32.
+    Saliency orderings are rank-stable to bf16 in practice; keep the f32
+    default when bit-level parity with the torch reference matters."""
     x = jnp.asarray(x)
     chunk = chunk or min(bundle.meta.batch_size, steps)
     while steps % chunk:
         chunk -= 1
     baseline = jnp.broadcast_to(jnp.asarray(baseline, dtype=x.dtype), x.shape)
-    grads, logits, diff = _ig_jit(bundle.apply, bundle.params, x, baseline,
-                                  steps, target, chunk)
+    if dtype is not None:
+        params = jax.tree.map(
+            lambda l: l.astype(dtype) if jnp.issubdtype(l.dtype,
+                                                        jnp.floating) else l,
+            bundle.params)
+        grads, logits, diff = _ig_jit(bundle.apply, params, x.astype(dtype),
+                                      baseline.astype(dtype), steps, target,
+                                      chunk)
+        grads = grads.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
+        diff = (x - baseline)
+    else:
+        grads, logits, diff = _ig_jit(bundle.apply, bundle.params, x,
+                                      baseline, steps, target, chunk)
     if alpha_star >= 1.0:
         mean_grads = grads.mean(axis=0)
     else:
@@ -123,6 +140,43 @@ def _ig_jit(apply_fn, params, x, baseline, steps, target, chunk):
 def lig(bundle, x, target, steps: int = 50, baseline=0.0,
         alpha_star: float = 0.9, chunk: int = None) -> jnp.ndarray:
     return ig(bundle, x, target, steps, alpha_star, baseline, chunk)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _ig_batch_jit(apply_fn, params, xs, targets, steps, chunk):
+    B = xs.shape[0]
+    alphas = jnp.linspace(0.0, 1.0, steps).reshape(1, steps, 1, 1, 1)
+    imgs = (alphas * xs[:, None]).reshape((B * steps,) + xs.shape[1:])
+    tgt = jnp.repeat(targets, steps)
+
+    def scores_sum(xb, tb):
+        logits = apply_fn(params, xb)
+        return jnp.take_along_axis(logits, tb[:, None], axis=1).sum()
+
+    n = B * steps
+    imgs_c = imgs.reshape((n // chunk, chunk) + xs.shape[1:])
+    tgt_c = tgt.reshape(n // chunk, chunk)
+
+    def one(args):
+        xb, tb = args
+        return jax.grad(scores_sum)(xb, tb)
+
+    grads = jax.lax.map(one, (imgs_c, tgt_c)).reshape(
+        (B, steps) + xs.shape[1:])
+    return grads.mean(axis=1) * xs
+
+
+def ig_batch(bundle, xs, targets, steps: int = 50,
+             chunk: int = 100) -> jnp.ndarray:
+    """Throughput-oriented IG over a BATCH of images (zero baseline): folds
+    the image and interpolation axes together so the chip runs larger
+    batches.  xs: [B, H, W, C]; targets: [B] int.  Returns [B, H, W, C]."""
+    xs = jnp.asarray(xs)
+    n = xs.shape[0] * steps
+    while n % chunk:
+        chunk -= 1
+    return _ig_batch_jit(bundle.apply, bundle.params, xs,
+                         jnp.asarray(targets, jnp.int32), steps, chunk)
 
 
 # ---------------------------------------------------------------------------

@@ -246,10 +246,10 @@ def make_bundle(arch_or_cli: str, params=None, key=None, text_embeddings=None,
     if params is None:
         key = key if key is not None else jax.random.PRNGKey(0)
         # init on CPU: avoids a slow accelerator compile of the init graph
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            params = model.init(
-                key, jnp.zeros((1, cfg.img_hw, cfg.img_hw, 3)),
-                jnp.zeros((1, 8), jnp.int32))["params"]
+        from .common import init_on_cpu
+        params = init_on_cpu(lambda: model.init(
+            key, jnp.zeros((1, cfg.img_hw, cfg.img_hw, 3)),
+            jnp.zeros((1, 8), jnp.int32))["params"])
     meta = ModelMeta(name=arch_or_cli, family="clip", img_hw=cfg.img_hw,
                      num_patches=cfg.grid, batch_size=batch_size,
                      mean=(0.48145466, 0.4578275, 0.40821073),

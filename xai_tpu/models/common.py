@@ -96,3 +96,14 @@ class ModelBundle:
         pr = self.probs(x)[0]
         cls = int(jnp.argmax(pr))
         return cls, float(pr[cls])
+
+
+def init_on_cpu(init_fn):
+    """Run a flax init on CPU (fast host compile) then transfer the params
+    to the default device — CPU-committed params would otherwise pin every
+    downstream jit to the host backend."""
+    import jax
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = init_fn()
+    return jax.device_put(params, jax.devices()[0])

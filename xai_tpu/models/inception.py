@@ -168,8 +168,9 @@ def make_bundle(params=None, key=None, batch_size: int = 25) -> ModelBundle:
     model = InceptionV3()
     if params is None:
         key = key if key is not None else jax.random.PRNGKey(0)
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            params = model.init(key, jnp.zeros((1, 299, 299, 3)))["params"]
+        from .common import init_on_cpu
+        params = init_on_cpu(
+            lambda: model.init(key, jnp.zeros((1, 299, 299, 3)))["params"])
     meta = ModelMeta(name="IV3", family="cnn", img_hw=299,
                      batch_size=batch_size)
 

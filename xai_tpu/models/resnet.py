@@ -160,8 +160,9 @@ def make_model(arch: str, num_classes: int = 1000) -> ResNet:
 def init_params(arch: str, key=None, num_classes: int = 1000):
     model = make_model(arch, num_classes)
     key = key if key is not None else jax.random.PRNGKey(0)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        return model.init(key, jnp.zeros((1, 224, 224, 3)))["params"]
+    from .common import init_on_cpu
+    return init_on_cpu(
+        lambda: model.init(key, jnp.zeros((1, 224, 224, 3)))["params"])
 
 
 def make_bundle(arch_or_cli: str, params=None, key=None,

@@ -67,8 +67,9 @@ def make_bundle(arch: str, params=None, key=None,
     model = make_model(arch)
     if params is None:
         key = key if key is not None else jax.random.PRNGKey(0)
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            params = model.init(key, jnp.zeros((1, 224, 224, 3)))["params"]
+        from .common import init_on_cpu
+        params = init_on_cpu(
+            lambda: model.init(key, jnp.zeros((1, 224, 224, 3)))["params"])
     meta = ModelMeta(name=arch, family="cnn", batch_size=batch_size)
 
     def apply(p, x):

@@ -200,9 +200,9 @@ def make_bundle(arch_or_cli: str, params=None, key=None,
     cfg = model.cfg
     if params is None:
         key = key if key is not None else jax.random.PRNGKey(0)
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            params = model.init(
-                key, jnp.zeros((1, cfg.img_hw, cfg.img_hw, 3)))["params"]
+        from .common import init_on_cpu
+        params = init_on_cpu(lambda: model.init(
+            key, jnp.zeros((1, cfg.img_hw, cfg.img_hw, 3)))["params"])
     meta = ModelMeta(name=arch_or_cli, family="vit", img_hw=cfg.img_hw,
                      num_patches=cfg.grid, batch_size=batch_size,
                      mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
