@@ -1,0 +1,197 @@
+"""Flax Swin Transformer (tiny/small/base) — torchvision-compatible eval
+math: 4x4 patch embed, windowed W-MSA / shifted SW-MSA with relative
+position bias, patch merging, LN + mean-pool head.
+
+Part of the image_finder model surface (swin_{tiny,small,base} masks in
+util/class_maps/ImageNet/).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import ModelBundle, ModelMeta
+
+
+def _rel_position_index(ws: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
+                                  indexing="ij"))          # [2, ws, ws]
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]               # [2, N, N]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)                                      # [N, N]
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        """x: [nW, N, C] windows; mask: [nW_types, N, N] or None."""
+        nW, N, C = x.shape
+        hd = self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, name="qkv")(x)
+        qkv = qkv.reshape(nW, N, 3, self.num_heads, hd)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        attn = jnp.einsum("whnd,whmd->whnm", q, k,
+                          preferred_element_type=jnp.float32) * hd ** -0.5
+
+        table = self.param("rel_bias_table", nn.initializers.normal(0.02),
+                           ((2 * self.window - 1) ** 2, self.num_heads))
+        idx = jnp.asarray(_rel_position_index(self.window))
+        bias = table[idx.reshape(-1)].reshape(N, N, self.num_heads)
+        attn = attn + bias.transpose(2, 0, 1)[None]
+        if mask is not None:
+            nm = mask.shape[0]
+            attn = attn.reshape(nW // nm, nm, self.num_heads, N, N)
+            attn = attn + mask[None, :, None]
+            attn = attn.reshape(nW, self.num_heads, N, N)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("whnm,whmd->whnd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(nW, N, C)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+def _window_partition(x, ws):
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
+
+
+def _window_reverse(wins, ws, B, H, W):
+    C = wins.shape[-1]
+    x = wins.reshape(B, H // ws, W // ws, ws, ws, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+
+
+def _shift_mask(H, W, ws, shift) -> np.ndarray:
+    """Attention mask distinguishing the shifted-window regions
+    (torchvision SwinTransformerBlock attn_mask)."""
+    img = np.zeros((H, W))
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wss in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, wss] = cnt
+            cnt += 1
+    wins = img.reshape(H // ws, ws, W // ws, ws).transpose(0, 2, 1, 3)
+    wins = wins.reshape(-1, ws * ws)
+    mask = wins[:, None, :] - wins[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+    shift: int
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, H, W, C]."""
+        B, H, W, C = x.shape
+        ws = min(self.window, H, W)
+        shift = 0 if ws >= min(H, W) and self.shift else self.shift
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        if shift:
+            h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+        wins = _window_partition(h, ws)
+        mask = jnp.asarray(_shift_mask(H, W, ws, shift)) if shift else None
+        a = WindowAttention(self.dim, self.num_heads, ws, name="attn")(
+            wins, mask)
+        a = _window_reverse(a, ws, B, H, W)
+        if shift:
+            a = jnp.roll(a, (shift, shift), axis=(1, 2))
+        x = x + a
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        h = nn.Dense(4 * self.dim, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, name="mlp_fc2")(h)
+        return x + h
+
+
+class PatchMerging(nn.Module):
+    dim: int  # input dim
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        y = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm")(y)
+        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(y)
+
+
+class SwinTransformer(nn.Module):
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    embed_dim: int = 96
+    window: int = 7
+    num_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, x, taps: bool = False):
+        tap = {}
+        y = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4),
+                    name="patch_embed")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(y)
+        dim = self.embed_dim
+        for s, (depth, heads) in enumerate(zip(self.depths,
+                                               self.num_heads)):
+            if s > 0:
+                y = PatchMerging(dim, name=f"merge{s}")(y)
+                dim *= 2
+            for b in range(depth):
+                y = SwinBlock(dim, heads, self.window,
+                              shift=0 if b % 2 == 0 else self.window // 2,
+                              name=f"stage{s}_block{b}")(y)
+            tap[f"stage{s}"] = y
+        tap["layer4"] = y
+        y = nn.LayerNorm(epsilon=1e-5, name="norm")(y)
+        y = y.mean(axis=(1, 2))
+        logits = nn.Dense(self.num_classes, name="head")(y)
+        if taps:
+            return logits, tap
+        return logits
+
+
+ARCHS = {
+    "swin_tiny": dict(depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+                      embed_dim=96),
+    "swin_small": dict(depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24),
+                       embed_dim=96),
+    "swin_base": dict(depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+                      embed_dim=128),
+}
+
+
+def make_bundle(arch: str = "swin_tiny", params=None, key=None,
+                batch_size: int = 25) -> ModelBundle:
+    model = SwinTransformer(num_classes=1000, **ARCHS[arch])
+    if params is None:
+        from .common import init_on_cpu
+        key = key if key is not None else jax.random.PRNGKey(0)
+        params = init_on_cpu(
+            lambda: model.init(key, jnp.zeros((1, 224, 224, 3)))["params"])
+    meta = ModelMeta(name=arch, family="cnn", batch_size=batch_size)
+
+    def apply(p, x):
+        return model.apply({"params": p}, x)
+
+    def apply_taps(p, x):
+        return model.apply({"params": p}, x, taps=True)
+
+    return ModelBundle(meta=meta, params=params, apply=apply,
+                       apply_taps=apply_taps, extras={"model": model})

@@ -17,8 +17,20 @@ from .common import MODEL_TABLE, build_bundle, normalize_input
 
 
 def find_correctly_classified(args):
-    family, batch = MODEL_TABLE[args.model]
-    bundle = build_bundle(args.model, args.params_path)
+    if args.model in MODEL_TABLE:
+        family, batch = MODEL_TABLE[args.model]
+        bundle = build_bundle(args.model, args.params_path)
+    else:
+        # extended zoo (the reference's 19 image_finder model choices)
+        from ..models import get_bundle
+        bundle = get_bundle(args.model)
+        family = bundle.meta.family
+        if args.params_path:
+            import pickle
+            import dataclasses
+            with open(args.params_path, "rb") as f:
+                bundle = dataclasses.replace(bundle,
+                                             params=pickle.load(f))
     gnd = load_ground_truth(args.ground_truth)
     n_total = args.total or len(gnd)
     mask = np.zeros(n_total, np.int64)
