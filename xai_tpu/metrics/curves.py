@@ -218,7 +218,7 @@ def mas_scores(normalized: np.ndarray, density: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def run_battery(apply_fn, params, input_img, saliency, blur_fn,
-                step_size: Optional[int] = None, chunk: int = 25,
+                step_size: Optional[int] = None, chunk: int = 45,
                 target: Optional[int] = None) -> dict:
     """Compute all 10 perturbation scores for one image.
 

@@ -81,8 +81,7 @@ def evaluate_perturbation(args) -> dict:
         attr_time += time.time() - t
 
         scores = run_battery(bundle.apply, bundle.params, np.asarray(x),
-                             saliency, blur, chunk=min(batch, 25),
-                             target=target)
+                             saliency, blur, chunk=45, target=target)
         for k, v in scores.items():
             result[k] = result.get(k, 0.0) + v
         images_used += 1
