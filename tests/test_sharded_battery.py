@@ -1,0 +1,33 @@
+"""Sharded battery on the 8-device CPU mesh: per-image results must match
+the single-device battery exactly."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from xai_tpu.parallel.mesh import make_mesh
+from xai_tpu.parallel.sharded_battery import sharded_battery_scores
+from xai_tpu.metrics import run_battery
+from xai_tpu.ops.blur import make_blur_fn
+
+from tiny_models import tiny_bundle
+
+HW = 16
+
+
+def test_sharded_matches_single_device(cpu_devices):
+    mesh = make_mesh(8, model_axis=1)
+    b = tiny_bundle(hw=HW)
+    rs = np.random.RandomState(0)
+    images = rs.randn(8, HW, HW, 3).astype(np.float32)
+    sals = rs.rand(8, HW, HW).astype(np.float32)
+    blur = make_blur_fn(5, 5.0)
+
+    sharded = sharded_battery_scores(b, mesh, images, sals, blur, chunk=17)
+    assert len(sharded) == 8
+    for i in range(8):
+        single = run_battery(b.apply, b.params, images[i], sals[i], blur,
+                             chunk=17)
+        for k in single:
+            assert sharded[i][k] == pytest.approx(single[k], abs=2e-5), \
+                (i, k, sharded[i][k], single[k])

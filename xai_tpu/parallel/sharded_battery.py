@@ -1,0 +1,126 @@
+"""Data-parallel metric battery: evaluate many images' reveal curves in one
+jit over the device mesh.
+
+This is the TPU-native form of the reference's 232-run x 1000-image sweep
+(SURVEY §2.14): images shard over the ``data`` mesh axis, every chip runs
+its images' reveal passes locally, and the per-image score vectors gather
+back — zero cross-chip traffic inside the curves, one collective at the
+end, inserted by XLA from the output sharding.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..metrics.curves import pixel_flip_steps
+from ..ops.stats import entropy_bits
+
+
+def batched_curves(apply_fn, params, starts, finishes, flips, targets,
+                   n_steps: int, chunk: int):
+    """starts/finishes: [B, H, W, C]; flips: [B, H*W]; targets: [B].
+    Returns (target_prob, top1, entropy): each [B, n_steps+1]."""
+    H = starts.shape[1]
+
+    def one_image(start, finish, flip, target):
+        mask_hw = flip.reshape(H, H, 1)
+
+        def probs_at(s):
+            img = jnp.where(mask_hw <= s, finish, start)
+            logits = apply_fn(params, img[None])[0]
+            p = jax.nn.softmax(logits)
+            return (p[target],
+                    (jnp.argmax(logits) == target).astype(jnp.float32),
+                    entropy_bits(p))
+
+        total = n_steps + 1
+        padded = ((total + chunk - 1) // chunk) * chunk
+        steps = jnp.arange(padded, dtype=jnp.int32).reshape(-1, chunk)
+        tp, t1, ent = jax.lax.map(jax.vmap(probs_at), steps)
+        return (tp.reshape(-1)[:total], t1.reshape(-1)[:total],
+                ent.reshape(-1)[:total])
+
+    return jax.vmap(one_image)(starts, finishes, flips, targets)
+
+
+def make_sharded_battery(apply_fn, mesh, n_steps: int, chunk: int = 45,
+                         param_spec=None):
+    """jit a mesh-sharded batched_curves: images over 'data', params
+    replicated (or tensor-parallel via param_spec)."""
+    p_sharding = (jax.tree.map(lambda s: NamedSharding(mesh, s), param_spec)
+                  if param_spec is not None else NamedSharding(mesh, P()))
+    data = NamedSharding(mesh, P("data"))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(p_sharding, data, data, data, data),
+        out_shardings=(data, data, data),
+    )
+    def run(params, starts, finishes, flips, targets):
+        return batched_curves(apply_fn, params, starts, finishes, flips,
+                              targets, n_steps, chunk)
+
+    return run
+
+
+def sharded_battery_scores(bundle, mesh, images, saliencies, blur_fn,
+                           chunk: int = 45, param_spec=None):
+    """Convenience wrapper: [B, H, W, C] images + [B, H, W] saliencies ->
+    per-image (MAS/RISE/AIC/...) score dicts, with the reveal passes
+    sharded over the mesh.  B must be a multiple of the data-axis size."""
+    from ..metrics.curves import (density_response, mas_scores,
+                                  monotone_normalize)
+    from ..ops.stats import auc, spearman
+
+    B, H = images.shape[0], images.shape[1]
+    n_steps = H
+    targets = np.asarray(
+        jnp.argmax(bundle.apply(bundle.params, jnp.asarray(images)),
+                   axis=-1))
+    flips_desc = np.stack([pixel_flip_steps(s, H) for s in saliencies])
+    flips_asc = np.stack(
+        [pixel_flip_steps(s, H, descending=False) for s in saliencies])
+
+    run = make_sharded_battery(bundle.apply, mesh, n_steps, chunk,
+                               param_spec=param_spec)
+    imgs = jnp.asarray(images)
+    blurred = blur_fn(imgs)
+    zeros = jnp.zeros_like(imgs)
+    tgt = jnp.asarray(targets)
+
+    ins = run(bundle.params, blurred, imgs, jnp.asarray(flips_desc), tgt)
+    dele = run(bundle.params, imgs, zeros, jnp.asarray(flips_desc), tgt)
+    lerf = run(bundle.params, imgs, zeros, jnp.asarray(flips_asc), tgt)
+
+    out = []
+    for i in range(B):
+        scores = {}
+        orig = float(ins[0][i][-1])
+        rise_ins = monotone_normalize(np.asarray(ins[0][i]), orig,
+                                      float(ins[0][i][0]), "ins")
+        rise_del = monotone_normalize(np.asarray(dele[0][i]), orig,
+                                      float(dele[0][i][-1]), "del")
+        d_ins = density_response(saliencies[i], flips_desc[i], n_steps,
+                                 "ins")
+        d_del = density_response(saliencies[i], flips_desc[i], n_steps,
+                                 "del")
+        scores["MAS_ins"] = float(auc(mas_scores(rise_ins, d_ins, "ins")))
+        scores["MAS_del"] = float(auc(mas_scores(rise_del, d_del, "del")))
+        scores["RISE_ins"] = float(auc(rise_ins))
+        scores["RISE_del"] = float(auc(rise_del))
+        scores["AIC_ins"] = float(auc(monotone_normalize(
+            np.asarray(ins[1][i]), 1.0, float(ins[1][i][0]), "ins")))
+        scores["AIC_del"] = float(auc(monotone_normalize(
+            np.asarray(dele[1][i]), 1.0, float(dele[1][i][-1]), "del")))
+        scores["LERF_res"] = float(auc(np.asarray(lerf[0][i])))
+        scores["MORF_res"] = float(auc(np.asarray(dele[0][i])))
+        scores["MONO_pos"] = float(spearman(
+            np.linspace(0, 1, n_steps + 1), np.asarray(ins[0][i])))
+        scores["MONO_neg"] = float(spearman(
+            np.linspace(1, 0, n_steps + 1), np.asarray(dele[0][i])))
+        out.append(scores)
+    return out
