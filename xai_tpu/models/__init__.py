@@ -16,6 +16,7 @@ EXTENDED_ZOO = {
     "VIT_base": ("vit", "vit_base_patch16_224"),
     "VIT_large": ("vit", "vit_large_patch16_224"),
     "CONVNXT": ("convnext", "convnext_base"),
+    "MAXVIT": ("maxvit", None),
     "IV3": ("inception", None),
     "swin_tiny": ("swin", "swin_tiny"), "swin_small": ("swin", "swin_small"),
     "swin_base": ("swin", "swin_base"),

@@ -33,7 +33,13 @@ def run_sweep(args):
     jobs = []
     models = args.models.split(",") if args.models else list(PERT_SWEEP)
     for model in models:
-        for attr in PERT_SWEEP.get(model, []):
+        if args.methods:
+            attrs = args.methods.split(",")
+        else:
+            # CNN models not in the table reuse the R101 method list
+            attrs = PERT_SWEEP.get(
+                model, PERT_SWEEP["R101"] if model.startswith("R") else [])
+        for attr in attrs:
             jobs.append((model, attr))
 
     # multi-host striping: each process takes every Nth job
@@ -82,6 +88,8 @@ def run_sweep(args):
 def build_parser():
     p = argparse.ArgumentParser("sweep")
     p.add_argument("--models", type=str, default="")
+    p.add_argument("--methods", type=str, default="",
+                   help="comma list overriding the per-model method table")
     p.add_argument("--image_count", type=int, default=1000)
     p.add_argument("--dataset_path", type=str, default="../../../ImageNet")
     p.add_argument("--class_maps_dir", type=str, default="")
