@@ -1,0 +1,48 @@
+"""Full-driver CPU smoke runs with the TINY model entries: exercises the
+complete CLI -> stream -> gates -> attribution -> battery -> CSV paths."""
+import csv
+import os
+
+import numpy as np
+import pytest
+
+
+def test_evaluate_perturbation_tiny(tmp_path):
+    from xai_tpu.runners.evaluate_perturbation import (build_parser,
+                                                       evaluate_perturbation)
+    args = build_parser().parse_args(
+        ["--model", "TINY_CNN", "--attr_func", "grad", "--image_count",
+         "2", "--synthetic", "2", "--output_dir", str(tmp_path)])
+    scores = evaluate_perturbation(args)
+    assert set(scores) >= {"MAS_ins", "MAS_del", "MONO_pos"}
+    csv_path = tmp_path / "TINY_CNN" / "grad_2_images.csv"
+    assert csv_path.exists()
+    rows = dict()
+    with open(csv_path) as f:
+        for k, v in csv.reader(f):
+            rows[k] = float(v)
+    assert "Attr Avg Runtime" in rows and "Total Runtime" in rows
+    assert abs(rows["MAS_ins"] - scores["MAS_ins"]) < 1e-9
+
+
+def test_evaluate_sanity_tiny(tmp_path):
+    from xai_tpu.runners.evaluate_sanity import build_parser, evaluate_sanity
+    args = build_parser().parse_args(
+        ["--model", "TINY_CNN", "--attr_func", "grad", "--image_count",
+         "1", "--synthetic", "1", "--output_dir", str(tmp_path)])
+    out = evaluate_sanity(args)
+    assert set(out) == {"SSIM", "SPR", "HOG"}
+    assert all(np.isfinite(v) for v in out.values())
+
+
+def test_evaluate_imagenet_seg_tiny(tmp_path):
+    from xai_tpu.runners.evaluate_imagenet_seg import (build_parser,
+                                                       evaluate_imagenet_seg)
+    args = build_parser().parse_args(
+        ["--model", "TINY_CNN", "--attr_func", "grad", "--image_count",
+         "2", "--synthetic", "2", "--output_dir", str(tmp_path)])
+    out = evaluate_imagenet_seg(args)
+    assert set(out) == {"pixAcc", "mIoU", "mAP", "mF1"}
+    txt = tmp_path / "TINY_CNN" / "grad_2_images"
+    assert txt.exists()
+    assert "Mean IoU" in txt.read_text()

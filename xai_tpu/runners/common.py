@@ -23,6 +23,9 @@ MODEL_TABLE = {
     "RNXT": ("cnn", 25),
     "VIT16": ("vit", 25), "VIT32": ("vit", 50),
     "CLIP16": ("clip", 25), "CLIP32": ("clip", 50),
+    # test-sized models (1-block-per-stage ResNet / depth-2 ViT) for fast
+    # CI runs of the full driver paths
+    "TINY_CNN": ("cnn", 50), "TINY_VIT": ("vit", 25),
 }
 
 
@@ -34,7 +37,26 @@ def build_bundle(model_name: str, params_path: Optional[str] = None,
     mechanics and for parity of the pipelines' structure)."""
     family, batch = MODEL_TABLE[model_name]
     key = jax.random.PRNGKey(seed)
-    if family == "cnn":
+    if model_name == "TINY_CNN":
+        import dataclasses
+
+        from ..models.common import init_on_cpu
+
+        model = resnet.ResNet(layers=(1, 1, 1, 1))
+        p = init_on_cpu(lambda: model.init(
+            key, jnp.zeros((1, 224, 224, 3)))["params"])
+        b = resnet.make_bundle("resnet50", params=p, batch_size=batch)
+        b = dataclasses.replace(
+            b, apply=lambda pp, x: model.apply({"params": pp}, x),
+            apply_taps=lambda pp, x: model.apply({"params": pp}, x,
+                                                 taps=True),
+            apply_probed=lambda pp, x, pr: model.apply(
+                {"params": pp}, x, taps=True, probes=pr),
+            extras={"model": model})
+    elif model_name == "TINY_VIT":
+        b = vit.make_bundle("vit_tiny_patch16_224", key=key,
+                            batch_size=batch)
+    elif family == "cnn":
         b = resnet.make_bundle(model_name, key=key, batch_size=batch)
     elif family == "clip":
         b = clipmod.make_bundle(model_name, key=key, batch_size=batch)
