@@ -24,6 +24,9 @@ ARCH_CONVERTERS = {
     "CLIP32": ("clip_from_torch", dict(vision_layers=12, text_layers=12)),
     "IV3": ("inception_from_torch", {}),
     "CONVNXT": ("convnext_from_torch", dict(depths=(3, 3, 27, 3))),
+    "swin_tiny": ("swin_from_torch", dict(depths=(2, 2, 6, 2))),
+    "swin_small": ("swin_from_torch", dict(depths=(2, 2, 18, 2))),
+    "swin_base": ("swin_from_torch", dict(depths=(2, 2, 18, 2))),
 }
 
 
@@ -51,10 +54,13 @@ def main(argv=None):
     from ..models import inception as _inception
 
     name, kwargs = ARCH_CONVERTERS[args.arch]
+    from ..models import swin as _swin
+
     fn = getattr(torch_import, name, None)
     if fn is None:
         fn = {"convnext_from_torch": _convnext.convnext_from_torch,
-              "inception_from_torch": _inception.inception_from_torch}[name]
+              "inception_from_torch": _inception.inception_from_torch,
+              "swin_from_torch": _swin.swin_from_torch}[name]
 
     sd = load_state_dict(args.torch_path)
     params = fn(sd, **kwargs)

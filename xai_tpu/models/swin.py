@@ -177,6 +177,63 @@ ARCHS = {
 }
 
 
+def swin_from_torch(sd, depths) -> dict:
+    """Convert a torchvision Swin state dict (features.N layout):
+    features.0 = stem (Conv2d at .0, LN at .2); odd indices = stages of
+    SwinTransformerBlocks (norm1/attn.qkv/attn.proj/
+    attn.relative_position_bias_table/norm2/mlp.{0,3}); even >0 =
+    PatchMerging (reduction Linear, norm LN); final norm + head."""
+
+    def _np(t):
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else \
+            np.asarray(t)
+
+    def conv(w):
+        return _np(w).transpose(2, 3, 1, 0)
+
+    def dense(w):
+        return _np(w).T
+
+    def ln(prefix):
+        return {"scale": _np(sd[prefix + ".weight"]),
+                "bias": _np(sd[prefix + ".bias"])}
+
+    params = {
+        "patch_embed": {"kernel": conv(sd["features.0.0.weight"]),
+                        "bias": _np(sd["features.0.0.bias"])},
+        "patch_norm": ln("features.0.2"),
+        "norm": ln("norm"),
+        "head": {"kernel": dense(sd["head.weight"]),
+                 "bias": _np(sd["head.bias"])},
+    }
+    for s in range(len(depths)):
+        if s > 0:
+            t = f"features.{2 * s}"
+            params[f"merge{s}"] = {
+                "norm": ln(f"{t}.norm"),
+                "reduction": {"kernel": dense(sd[f"{t}.reduction.weight"])},
+            }
+        for b in range(depths[s]):
+            t = f"features.{2 * s + 1}.{b}"
+            params[f"stage{s}_block{b}"] = {
+                "norm1": ln(f"{t}.norm1"),
+                "norm2": ln(f"{t}.norm2"),
+                "attn": {
+                    "qkv": {"kernel": dense(sd[f"{t}.attn.qkv.weight"]),
+                            "bias": _np(sd[f"{t}.attn.qkv.bias"])},
+                    "proj": {"kernel": dense(sd[f"{t}.attn.proj.weight"]),
+                             "bias": _np(sd[f"{t}.attn.proj.bias"])},
+                    "rel_bias_table": _np(
+                        sd[f"{t}.attn.relative_position_bias_table"]),
+                },
+                "mlp_fc1": {"kernel": dense(sd[f"{t}.mlp.0.weight"]),
+                            "bias": _np(sd[f"{t}.mlp.0.bias"])},
+                "mlp_fc2": {"kernel": dense(sd[f"{t}.mlp.3.weight"]),
+                            "bias": _np(sd[f"{t}.mlp.3.bias"])},
+            }
+    return params
+
+
 def make_bundle(arch: str = "swin_tiny", params=None, key=None,
                 batch_size: int = 25) -> ModelBundle:
     model = SwinTransformer(num_classes=1000, **ARCHS[arch])
