@@ -24,9 +24,14 @@ ARCH_CONVERTERS = {
     "CLIP32": ("clip_from_torch", dict(vision_layers=12, text_layers=12)),
     "IV3": ("inception_from_torch", {}),
     "CONVNXT": ("convnext_from_torch", dict(depths=(3, 3, 27, 3))),
-    "swin_tiny": ("swin_from_torch", dict(depths=(2, 2, 6, 2))),
-    "swin_small": ("swin_from_torch", dict(depths=(2, 2, 18, 2))),
-    "swin_base": ("swin_from_torch", dict(depths=(2, 2, 18, 2))),
+    # HF checkpoints (microsoft/swin-*, Xrenya/pvt-*, Zetatech/pvt-medium)
+    "swin_tiny": ("swin_from_hf", dict(depths=(2, 2, 6, 2))),
+    "swin_small": ("swin_from_hf", dict(depths=(2, 2, 18, 2))),
+    "swin_base": ("swin_from_hf", dict(depths=(2, 2, 18, 2))),
+    "swin_tiny_torchvision": ("swin_from_torch", dict(depths=(2, 2, 6, 2))),
+    "pvt_tiny": ("pvt_from_hf", dict(depths=(2, 2, 2, 2))),
+    "pvt_small": ("pvt_from_hf", dict(depths=(3, 4, 6, 3))),
+    "pvt_med": ("pvt_from_hf", dict(depths=(3, 4, 18, 3))),
 }
 
 
@@ -56,11 +61,15 @@ def main(argv=None):
     name, kwargs = ARCH_CONVERTERS[args.arch]
     from ..models import swin as _swin
 
+    from ..models import pvt as _pvt
+
     fn = getattr(torch_import, name, None)
     if fn is None:
         fn = {"convnext_from_torch": _convnext.convnext_from_torch,
               "inception_from_torch": _inception.inception_from_torch,
-              "swin_from_torch": _swin.swin_from_torch}[name]
+              "swin_from_torch": _swin.swin_from_torch,
+              "swin_from_hf": _swin.swin_from_hf,
+              "pvt_from_hf": _pvt.pvt_from_hf}[name]
 
     sd = load_state_dict(args.torch_path)
     params = fn(sd, **kwargs)

@@ -38,7 +38,7 @@ class SRAttention(nn.Module):
                           strides=(self.sr_ratio, self.sr_ratio),
                           name="sr")(spatial)
             red = red.reshape(B, -1, C)
-            red = nn.LayerNorm(epsilon=1e-5, name="sr_norm")(red)
+            red = nn.LayerNorm(epsilon=1e-6, name="sr_norm")(red)
             kv_in = jnp.concatenate([x[:, :extra], red], axis=1) \
                 if extra else red
         kv = nn.Dense(2 * self.dim, name="kv")(kv_in)
@@ -97,7 +97,7 @@ class PVT(nn.Module):
             y = nn.Conv(self.dims[s], (ps, ps), strides=(ps, ps),
                         name=f"patch_embed{s}")(y)
             y = y.reshape(B, grid * grid, self.dims[s])
-            y = nn.LayerNorm(epsilon=1e-5, name=f"embed_norm{s}")(y)
+            y = nn.LayerNorm(epsilon=1e-6, name=f"embed_norm{s}")(y)
             n_tokens = grid * grid
             last = s == n_stages - 1
             if last:
@@ -131,6 +131,78 @@ ARCHS = {
     "pvt_small": dict(depths=(3, 4, 6, 3)),
     "pvt_medium": dict(depths=(3, 4, 18, 3)),
 }
+
+
+def pvt_from_hf(sd, depths) -> dict:
+    """Convert a HuggingFace PvtForImageClassification state dict
+    (the checkpoints the reference's image_finder loads:
+    Xrenya/pvt-{tiny,small}-224, Zetatech/pvt-medium-224)."""
+    import numpy as np
+
+    def _np(t):
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else \
+            np.asarray(t)
+
+    def conv(w):
+        return _np(w).transpose(2, 3, 1, 0)
+
+    def dense(w):
+        return _np(w).T
+
+    def ln(prefix):
+        return {"scale": _np(sd[prefix + ".weight"]),
+                "bias": _np(sd[prefix + ".bias"])}
+
+    params = {
+        "norm": ln("pvt.encoder.layer_norm"),
+        "head": {"kernel": dense(sd["classifier.weight"]),
+                 "bias": _np(sd["classifier.bias"])},
+    }
+    n = len(depths)
+    for s in range(n):
+        pe = f"pvt.encoder.patch_embeddings.{s}"
+        params[f"patch_embed{s}"] = {
+            "kernel": conv(sd[f"{pe}.projection.weight"]),
+            "bias": _np(sd[f"{pe}.projection.bias"])}
+        params[f"embed_norm{s}"] = ln(f"{pe}.layer_norm")
+        pos = _np(sd[f"{pe}.position_embeddings"])
+        params[f"pos_embed{s}"] = pos
+        if s == n - 1:
+            params["cls_token"] = _np(sd[f"{pe}.cls_token"])
+        for b in range(depths[s]):
+            t = f"pvt.encoder.block.{s}.{b}"
+            q = dense(sd[f"{t}.attention.self.query.weight"])
+            k = dense(sd[f"{t}.attention.self.key.weight"])
+            v = dense(sd[f"{t}.attention.self.value.weight"])
+            qb = _np(sd[f"{t}.attention.self.query.bias"])
+            kb = _np(sd[f"{t}.attention.self.key.bias"])
+            vb = _np(sd[f"{t}.attention.self.value.bias"])
+            blk = {
+                "norm1": ln(f"{t}.layer_norm_1"),
+                "norm2": ln(f"{t}.layer_norm_2"),
+                "attn": {
+                    "q": {"kernel": q, "bias": qb},
+                    "kv": {"kernel": np.concatenate([k, v], axis=1),
+                           "bias": np.concatenate([kb, vb])},
+                    "proj": {"kernel": dense(
+                        sd[f"{t}.attention.output.dense.weight"]),
+                        "bias": _np(sd[f"{t}.attention.output.dense.bias"])},
+                },
+                "mlp_fc1": {"kernel": dense(sd[f"{t}.mlp.dense1.weight"]),
+                            "bias": _np(sd[f"{t}.mlp.dense1.bias"])},
+                "mlp_fc2": {"kernel": dense(sd[f"{t}.mlp.dense2.weight"]),
+                            "bias": _np(sd[f"{t}.mlp.dense2.bias"])},
+            }
+            if f"{t}.attention.self.sequence_reduction.weight" in sd:
+                blk["attn"]["sr"] = {
+                    "kernel": conv(
+                        sd[f"{t}.attention.self.sequence_reduction.weight"]),
+                    "bias": _np(
+                        sd[f"{t}.attention.self.sequence_reduction.bias"])}
+                blk["attn"]["sr_norm"] = ln(
+                    f"{t}.attention.self.layer_norm")
+            params[f"stage{s}_block{b}"] = blk
+    return params
 
 
 def make_bundle(arch: str = "pvt_tiny", params=None, key=None,

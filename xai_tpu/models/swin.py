@@ -234,6 +234,75 @@ def swin_from_torch(sd, depths) -> dict:
     return params
 
 
+def swin_from_hf(sd, depths) -> dict:
+    """Convert a HuggingFace SwinForImageClassification state dict (the
+    checkpoints the reference's image_finder loads:
+    microsoft/swin-{tiny,small,base}-patch4-window7-224).  HF keeps q/k/v
+    separate and hangs each stage's downsample off the PREVIOUS layer."""
+
+    def _np(t):
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else \
+            np.asarray(t)
+
+    def conv(w):
+        return _np(w).transpose(2, 3, 1, 0)
+
+    def dense(w):
+        return _np(w).T
+
+    def ln(prefix):
+        return {"scale": _np(sd[prefix + ".weight"]),
+                "bias": _np(sd[prefix + ".bias"])}
+
+    params = {
+        "patch_embed": {
+            "kernel": conv(sd["swin.embeddings.patch_embeddings."
+                              "projection.weight"]),
+            "bias": _np(sd["swin.embeddings.patch_embeddings."
+                           "projection.bias"])},
+        "patch_norm": ln("swin.embeddings.norm"),
+        "norm": ln("swin.layernorm"),
+        "head": {"kernel": dense(sd["classifier.weight"]),
+                 "bias": _np(sd["classifier.bias"])},
+    }
+    for s in range(len(depths)):
+        if s > 0:
+            t = f"swin.encoder.layers.{s - 1}.downsample"
+            params[f"merge{s}"] = {
+                "norm": ln(f"{t}.norm"),
+                "reduction": {"kernel": dense(sd[f"{t}.reduction.weight"])},
+            }
+        for b in range(depths[s]):
+            t = f"swin.encoder.layers.{s}.blocks.{b}"
+            q = dense(sd[f"{t}.attention.self.query.weight"])
+            k = dense(sd[f"{t}.attention.self.key.weight"])
+            v = dense(sd[f"{t}.attention.self.value.weight"])
+            qb = _np(sd[f"{t}.attention.self.query.bias"])
+            kb = _np(sd[f"{t}.attention.self.key.bias"])
+            vb = _np(sd[f"{t}.attention.self.value.bias"])
+            params[f"stage{s}_block{b}"] = {
+                "norm1": ln(f"{t}.layernorm_before"),
+                "norm2": ln(f"{t}.layernorm_after"),
+                "attn": {
+                    "qkv": {"kernel": np.concatenate([q, k, v], axis=1),
+                            "bias": np.concatenate([qb, kb, vb])},
+                    "proj": {"kernel": dense(
+                        sd[f"{t}.attention.output.dense.weight"]),
+                        "bias": _np(
+                            sd[f"{t}.attention.output.dense.bias"])},
+                    "rel_bias_table": _np(
+                        sd[f"{t}.attention.self."
+                           "relative_position_bias_table"]),
+                },
+                "mlp_fc1": {"kernel": dense(
+                    sd[f"{t}.intermediate.dense.weight"]),
+                    "bias": _np(sd[f"{t}.intermediate.dense.bias"])},
+                "mlp_fc2": {"kernel": dense(sd[f"{t}.output.dense.weight"]),
+                            "bias": _np(sd[f"{t}.output.dense.bias"])},
+            }
+    return params
+
+
 def make_bundle(arch: str = "swin_tiny", params=None, key=None,
                 batch_size: int = 25) -> ModelBundle:
     model = SwinTransformer(num_classes=1000, **ARCHS[arch])
