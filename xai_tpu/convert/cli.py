@@ -20,6 +20,9 @@ ARCH_CONVERTERS = {
     "VGG19": ("vgg_from_torch", {}),
     "VIT16": ("vit_from_torch", dict(depth=12)),
     "VIT32": ("vit_from_torch", dict(depth=12)),
+    "VIT16_torchvision": ("vit_from_torchvision", dict(depth=12)),
+    "VIT32_torchvision": ("vit_from_torchvision", dict(depth=12)),
+    "CONVNXT_large": ("convnext_from_torch", dict(depths=(3, 3, 27, 3))),
     "CLIP16": ("clip_from_torch", dict(vision_layers=12, text_layers=12)),
     "CLIP32": ("clip_from_torch", dict(vision_layers=12, text_layers=12)),
     "IV3": ("inception_from_torch", {}),

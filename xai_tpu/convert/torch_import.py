@@ -141,6 +141,49 @@ def clip_from_torch(sd, vision_layers: int = 12, text_layers: int = 12
             "logit_scale": _np(sd["logit_scale"])}
 
 
+def vit_from_torchvision(sd, depth: int = 12) -> dict:
+    """Convert a torchvision ViT state dict (models.vit_b_16/vit_b_32 —
+    the weights behind the reference's VIT16/VIT32 class maps,
+    findCorrectlyClassifiedImageNet.py:73-78).  torchvision packs qkv as
+    MultiheadAttention in_proj; MLP layers live at mlp.{0,3} (linear_1/2 in
+    newer versions use the same indices)."""
+    params = {
+        "patch_embed": {"kernel": _conv(sd["conv_proj.weight"]),
+                        "bias": _np(sd["conv_proj.bias"])},
+        "cls_token": _np(sd["class_token"]),
+        "pos_embed": _np(sd["encoder.pos_embedding"]),
+        "norm": {"scale": _np(sd["encoder.ln.weight"]),
+                 "bias": _np(sd["encoder.ln.bias"])},
+        "head": {"kernel": _dense(sd["heads.head.weight"]),
+                 "bias": _np(sd["heads.head.bias"])},
+    }
+    for i in range(depth):
+        t = f"encoder.layers.encoder_layer_{i}"
+        mlp1 = f"{t}.mlp.0" if f"{t}.mlp.0.weight" in sd else \
+            f"{t}.mlp.linear_1"
+        mlp2 = f"{t}.mlp.3" if f"{t}.mlp.3.weight" in sd else \
+            f"{t}.mlp.linear_2"
+        params[f"block{i}"] = {
+            "norm1": {"scale": _np(sd[f"{t}.ln_1.weight"]),
+                      "bias": _np(sd[f"{t}.ln_1.bias"])},
+            "norm2": {"scale": _np(sd[f"{t}.ln_2.weight"]),
+                      "bias": _np(sd[f"{t}.ln_2.bias"])},
+            "attn": {
+                "qkv": {"kernel": _dense(
+                    sd[f"{t}.self_attention.in_proj_weight"]),
+                    "bias": _np(sd[f"{t}.self_attention.in_proj_bias"])},
+                "proj": {"kernel": _dense(
+                    sd[f"{t}.self_attention.out_proj.weight"]),
+                    "bias": _np(sd[f"{t}.self_attention.out_proj.bias"])},
+            },
+            "mlp_fc1": {"kernel": _dense(sd[mlp1 + ".weight"]),
+                        "bias": _np(sd[mlp1 + ".bias"])},
+            "mlp_fc2": {"kernel": _dense(sd[mlp2 + ".weight"]),
+                        "bias": _np(sd[mlp2 + ".bias"])},
+        }
+    return params
+
+
 def vit_from_torch(sd, depth: int = 12) -> dict:
     """Convert a timm-style ViT state dict (ViT_new_timm.py naming)."""
     params = {

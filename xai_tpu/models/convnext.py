@@ -65,6 +65,9 @@ ARCHS = {
     "convnext_tiny": dict(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768)),
     "convnext_small": dict(depths=(3, 3, 27, 3), dims=(96, 192, 384, 768)),
     "convnext_base": dict(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024)),
+    # the reference's CONVNXT is torchvision convnext_large
+    # (findCorrectlyClassifiedImageNet.py:65)
+    "convnext_large": dict(depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536)),
 }
 
 
