@@ -55,7 +55,7 @@ def evaluate_perturbation(args) -> dict:
             continue
         x = normalize_input(item.trans_img, family)
         target, original_pred, ok = image_gates(bundle, x, blur)
-        if not ok and not args.synthetic:
+        if not ok and not args.synthetic and not args.skip_gates:
             continue
         if classes_used[target] == images_per_class:
             continue
@@ -116,6 +116,10 @@ def build_parser():
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--skip_gates", action="store_true",
+                   help="bypass the blur/black sanity gates (useful with "
+                        "random weights; the reference gates assume a "
+                        "trained model)")
     return p
 
 
