@@ -277,7 +277,11 @@ def _idgi_jit(apply_fn, params, x, baseline, steps, target, chunk):
     d = logits[1:] - logits[:-1]                     # [steps-1]
     g2 = grads[:-1] ** 2                             # [steps-1, H, W, C]
     denom = g2.sum(axis=(1, 2, 3), keepdims=True)
-    return (g2 * d.reshape(-1, 1, 1, 1) / denom).sum(axis=0)
+    # zero-gradient steps (e.g. a dead-ReLU zero baseline) are 0/0 in the
+    # reference and poison the whole map with NaN; treat them as
+    # zero-contribution steps instead
+    term = jnp.where(denom > 0, g2 * d.reshape(-1, 1, 1, 1) / denom, 0.0)
+    return term.sum(axis=0)
 
 
 def idgi(bundle, x, target, steps: int = 50, baseline=0.0,

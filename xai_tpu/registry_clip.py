@@ -54,10 +54,20 @@ CLIP_METHODS = {
 
 
 def _surgery_entry(ctx):
+    import jax.numpy as jnp
+
     from .methods.clip_surgery import surgery_map
-    # text table: target caption first, then the ensemble/extra classes
-    # (evaluatePerturbation.py:425-429)
-    txt = ctx.extras.get("surgery_text_features", ctx.extras["txt_emb"])
+    # text table: target caption first, then extra class texts — the
+    # redundant-feature removal needs >1 class (evaluatePerturbation.py:
+    # 425-429 passes the target plus 59 generic class names; with a single
+    # class the mean-subtraction zeroes the map)
+    txt = ctx.extras.get("surgery_text_features")
+    if txt is None:
+        table = ctx.bundle.extras["text_embeddings"]
+        others = np.array([i for i in range(min(60, table.shape[0]))
+                           if i != ctx.target][:59])
+        txt = jnp.concatenate([table[ctx.target][None],
+                               table[jnp.asarray(others)]])
     return np.abs(surgery_map(ctx.bundle, ctx.x, txt))
 
 
