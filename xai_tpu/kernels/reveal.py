@@ -9,8 +9,6 @@ batch to HBM once for multiple consumers.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -10,8 +10,6 @@ minmax-normalized (iba.py:89-196, methods.py:46-70).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

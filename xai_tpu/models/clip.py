@@ -21,7 +21,7 @@ does NOT normalize the image embedding there; reproduced.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

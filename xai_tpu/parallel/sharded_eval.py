@@ -21,8 +21,6 @@ documented out of scope.
 from __future__ import annotations
 
 import functools
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import optax
