@@ -4,6 +4,11 @@ MaskCLIP heatmaps for a caption.
 Run: python examples/clip_example.py [--image path.jpg] [--params params.pkl]
      [--bpe bpe_simple_vocab_16e6.txt.gz --caption "a photo of a cat"]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

@@ -4,6 +4,11 @@ scored with the perturbation battery.
 
 Run: python examples/cnn_example.py [--image path.jpg] [--params params.pkl]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

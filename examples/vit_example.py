@@ -3,6 +3,11 @@ bidirectional attribution and MDA (with the adaptive blur) on ViT-B/16.
 
 Run: python examples/vit_example.py [--image path.jpg] [--params params.pkl]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

@@ -46,6 +46,7 @@ def evaluate_perturbation(args) -> dict:
     result = {}
     images_used = 0
     attr_time = 0.0
+    maps_store = None
     t0 = time.time()
 
     for item in stream:
@@ -80,6 +81,17 @@ def evaluate_perturbation(args) -> dict:
         saliency = get_attribution(family, args.attr_func, ctx)
         attr_time += time.time() - t
 
+        if args.save_maps:
+            if maps_store is None:
+                from ..data.voc import ExplanationsHDF5
+                os.makedirs(args.output_dir, exist_ok=True)
+                maps_store = ExplanationsHDF5(
+                    os.path.join(args.output_dir,
+                                 f"{args.model}_{args.attr_func}_maps.h5"),
+                    mode="w")
+            maps_store.write(item.name, saliency, target=target,
+                             original_pred=original_pred)
+
         scores = run_battery(bundle.apply, bundle.params, np.asarray(x),
                              saliency, blur, chunk=45, target=target)
         for k, v in scores.items():
@@ -90,6 +102,8 @@ def evaluate_perturbation(args) -> dict:
                   f"cls={target} MAS_ins={scores['MAS_ins']:.4f}")
 
     total_time = time.time() - t0
+    if maps_store is not None:
+        maps_store.close()
     if images_used:
         folder = os.path.join(args.output_dir, args.model)
         write_result_csv(folder, f"{args.attr_func}_{args.image_count}_images",
@@ -116,6 +130,9 @@ def build_parser():
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--save_maps", action="store_true",
+                   help="dump every attribution map to an HDF5 store "
+                        "(the golden-parity workflow, BASELINE.md)")
     p.add_argument("--skip_gates", action="store_true",
                    help="bypass the blur/black sanity gates (useful with "
                         "random weights; the reference gates assume a "
