@@ -121,3 +121,18 @@ def test_seg_metrics_random_prediction():
     assert 0 <= correct <= labeled
     assert (inter <= union).all()
     assert 0.3 < ap[0] < 0.8
+
+
+def test_compute_pic_metric_aic_mode():
+    """method=1 (AIC): binary top-1 responses through the same pipeline."""
+    b = tiny_bundle(hw=HW)
+    rs = np.random.RandomState(9)
+    img = rs.rand(HW, HW, 3).astype(np.float32)
+    sal = rs.rand(HW, HW)
+    mask = P.generate_random_mask(HW, HW, 0.05, np.random.RandomState(1))
+    res = P.compute_pic_metric(b, img, sal, mask, method=1,
+                               normalize_fn=lambda x: x * 2 - 1)
+    if res != 0:
+        assert 0.0 <= res.auc <= 1.0
+        assert set(np.unique(np.round(res.curve_y, 6))) <= \
+            set(np.round(np.unique(res.curve_y), 6))
