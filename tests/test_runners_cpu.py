@@ -46,3 +46,36 @@ def test_evaluate_imagenet_seg_tiny(tmp_path):
     txt = tmp_path / "TINY_CNN" / "grad_2_images"
     assert txt.exists()
     assert "Mean IoU" in txt.read_text()
+
+
+def test_randomize_family_branches():
+    import jax
+    import jax.numpy as jnp
+    from xai_tpu.runners.evaluate_sanity import randomize_family
+
+    params = {
+        "conv": {"kernel": jnp.ones((3, 3, 4, 8)), "bias": jnp.zeros(8)},
+        "fc": {"kernel": jnp.ones((8, 4)), "bias": jnp.ones(4)},
+        "token_embedding": jnp.ones((10, 4)),
+    }
+    key = jax.random.PRNGKey(0)
+
+    cnn = randomize_family(params, "cnn", key)
+    assert not np.allclose(np.asarray(cnn["conv"]["kernel"]), 1.0)
+    assert not np.allclose(np.asarray(cnn["fc"]["kernel"]), 1.0)
+    # CNN randomization keeps biases/embeddings (reference only re-inits
+    # conv/linear weights, evaluateSanity.py:108-120)
+    assert np.allclose(np.asarray(cnn["fc"]["bias"]), 1.0)
+    assert np.allclose(np.asarray(cnn["token_embedding"]), 1.0)
+
+    vit = randomize_family(params, "vit", key)
+    for leaf in [vit["conv"]["kernel"], vit["fc"]["bias"],
+                 vit["token_embedding"]]:
+        assert not np.allclose(np.asarray(leaf), np.asarray(leaf) * 0 + 1)
+
+    clip = randomize_family(params, "clip", key)
+    assert not np.allclose(np.asarray(clip["fc"]["kernel"]), 1.0)
+    assert np.allclose(np.asarray(clip["fc"]["bias"]), 0.0)  # zeroed
+    assert not np.allclose(np.asarray(clip["token_embedding"]), 1.0)
+    # conv (4-D) untouched for CLIP
+    assert np.allclose(np.asarray(clip["conv"]["kernel"]), 1.0)
