@@ -34,11 +34,16 @@ def center_crop_resize(img, img_hw: int = 224,
         raise RuntimeError("PIL required for image loading")
     interpolation = interpolation or Image.BILINEAR
     w, h = img.size
-    short = min(w, h)
-    ow, oh = (int(round(w * img_hw / short)), int(round(h * img_hw / short)))
+    # torchvision F.resize int-size semantics: short side -> img_hw, long
+    # side TRUNCATED (int(size * long / short)), not rounded
+    if w <= h:
+        ow, oh = img_hw, int(img_hw * h / w)
+    else:
+        ow, oh = int(img_hw * w / h), img_hw
     img = img.resize((ow, oh), interpolation)
-    left = (ow - img_hw) // 2
-    top = (oh - img_hw) // 2
+    # torchvision CenterCrop: round((dim - crop) / 2)
+    left = int(round((ow - img_hw) / 2.0))
+    top = int(round((oh - img_hw) / 2.0))
     img = img.crop((left, top, left + img_hw, top + img_hw))
     arr = np.asarray(img, dtype=np.float32) / 255.0
     return arr
