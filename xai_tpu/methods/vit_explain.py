@@ -47,6 +47,18 @@ def collect(bundle, x, target):
                     target)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _taps_jit(apply_taps, params, x):
+    return apply_taps(params, x)
+
+
+def _taps(bundle, x):
+    x = jnp.asarray(x)
+    if x.ndim == 3:
+        x = x[None]
+    return _taps_jit(bundle.apply_taps, bundle.params, x)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 5))
 def _attn_ig_grads(apply_probed, cfg, params, x, target, steps):
     """Sum over alpha in linspace(0,1,steps) of d logit[target]/d attn of the
@@ -131,8 +143,7 @@ def _cls_patch_grid(row, tokens: int):
 
 def raw_attn(bundle, x, layer: int = -1):
     """generate_raw_attn (:140-145): last-block head-mean CLS row."""
-    _, taps = bundle.apply_taps(bundle.params, jnp.asarray(x)[None]
-                                if jnp.asarray(x).ndim == 3 else x)
+    _, taps = _taps(bundle, x)
     attn = taps["attn"][layer].mean(axis=1)[0, 0]
     return _cls_patch_grid(attn, attn.shape[-1])
 
@@ -157,8 +168,7 @@ def cam_attn(bundle, x, target, layer: int = -1):
 
 def naive_rollout(bundle, x, start_layer: int = 0):
     """generate_naive_rollout (:180-193)."""
-    _, taps = bundle.apply_taps(bundle.params, jnp.asarray(x)[None]
-                                if jnp.asarray(x).ndim == 3 else x)
+    _, taps = _taps(bundle, x)
     mats = taps["attn"].mean(axis=2)                # [L, B, N, N]
     ro = rollout_naive(mats, start_layer)[0, 0]
     return _cls_patch_grid(ro, ro.shape[-1])
@@ -166,8 +176,7 @@ def naive_rollout(bundle, x, start_layer: int = 0):
 
 def rollout(bundle, x, start_layer: int = 0):
     """generate_rollout (:195-239, InFlow=False)."""
-    _, taps = bundle.apply_taps(bundle.params, jnp.asarray(x)[None]
-                                if jnp.asarray(x).ndim == 3 else x)
+    _, taps = _taps(bundle, x)
     mats = taps["attn"].mean(axis=2)
     ro = rollout_residual(mats, start_layer)[0, 0]
     return _cls_patch_grid(ro, ro.shape[-1])
@@ -175,8 +184,7 @@ def rollout(bundle, x, start_layer: int = 0):
 
 def inflow_rollout(bundle, x):
     """generate_rollout(InFlow=True): RAVE with plain head-mean attention."""
-    _, taps = bundle.apply_taps(bundle.params, jnp.asarray(x)[None]
-                                if jnp.asarray(x).ndim == 3 else x)
+    _, taps = _taps(bundle, x)
     mats = taps["attn"].mean(axis=2)
     b1, b2 = _resid_biases(taps)
     aug = rave_matrices(mats, b1, b2)
