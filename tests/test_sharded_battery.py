@@ -31,3 +31,13 @@ def test_sharded_matches_single_device(cpu_devices):
         for k in single:
             assert sharded[i][k] == pytest.approx(single[k], abs=2e-5), \
                 (i, k, sharded[i][k], single[k])
+
+
+def test_make_mesh_too_many_devices_errors_clearly(cpu_devices):
+    # the round-1 failure mode: asking for a bigger mesh than the backend
+    # exposes must raise a named error, not a bare numpy reshape ValueError
+    import pytest
+    with pytest.raises(ValueError, match="make_mesh.*16 devices.*exposes only 8"):
+        make_mesh(16)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_mesh(8, model_axis=3)

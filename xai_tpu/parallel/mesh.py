@@ -16,9 +16,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int | None = None, model_axis: int = 1) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
-    devs = devs[:n]
-    assert n % model_axis == 0, (n, model_axis)
-    arr = np.array(devs).reshape(n // model_axis, model_axis)
+    if n > len(devs):
+        raise ValueError(
+            f"make_mesh: asked for {n} devices but the "
+            f"{devs[0].platform!r} backend exposes only {len(devs)}. "
+            "For a virtual multi-device mesh on one host, configure "
+            "jax.config.update('jax_platforms', 'cpu') and "
+            "jax.config.update('jax_num_cpu_devices', n) before first "
+            "backend use (see __graft_entry__._ensure_virtual_cpu_mesh).")
+    if n % model_axis != 0:
+        raise ValueError(
+            f"make_mesh: n_devices={n} not divisible by model_axis={model_axis}")
+    arr = np.array(devs[:n]).reshape(n // model_axis, model_axis)
     return Mesh(arr, axis_names=("data", "model"))
 
 
