@@ -1,0 +1,178 @@
+"""Load the ACTUAL reference modules from /root/reference as parity oracles.
+
+Round-1 parity tests compared against builder-written transliterations; a
+shared misreading would pass both.  These helpers import the reference's own
+Python files so the oracle and the implementation no longer share an author.
+
+The reference imports a few packages this image lacks (timm, torchvision,
+cvxopt, fast_pytorch_kmeans).  ``_install_stubs`` registers minimal
+API-compatible stand-ins — only for the surface the imported files touch in
+the tested code paths; anything else raises loudly.  The timm layer stubs
+(PatchEmbed / Mlp / DropPath) are real implementations of those public-API
+layers because ViT_new_timm composes them into the forward math.
+"""
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+import torch
+import torch.nn as nn
+
+REF = "/root/reference"
+
+
+class _PatchEmbed(nn.Module):
+    """timm.models.layers.PatchEmbed public behavior (conv proj -> tokens)."""
+
+    def __init__(self, img_size=224, patch_size=16, in_chans=3,
+                 embed_dim=768, norm_layer=None, flatten=True):
+        super().__init__()
+        self.img_size = (img_size, img_size)
+        self.patch_size = (patch_size, patch_size)
+        self.grid_size = (img_size // patch_size, img_size // patch_size)
+        self.num_patches = self.grid_size[0] * self.grid_size[1]
+        self.flatten = flatten
+        self.proj = nn.Conv2d(in_chans, embed_dim, kernel_size=patch_size,
+                              stride=patch_size)
+        self.norm = norm_layer(embed_dim) if norm_layer else nn.Identity()
+
+    def forward(self, x):
+        x = self.proj(x)
+        if self.flatten:
+            x = x.flatten(2).transpose(1, 2)
+        return self.norm(x)
+
+
+class _Mlp(nn.Module):
+    """timm.models.layers.Mlp public behavior (fc1 -> act -> fc2)."""
+
+    def __init__(self, in_features, hidden_features=None, out_features=None,
+                 act_layer=nn.GELU, drop=0.0):
+        super().__init__()
+        out_features = out_features or in_features
+        hidden_features = hidden_features or in_features
+        self.fc1 = nn.Linear(in_features, hidden_features)
+        self.act = act_layer()
+        self.fc2 = nn.Linear(hidden_features, out_features)
+        self.drop = nn.Dropout(drop)
+
+    def forward(self, x):
+        return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
+
+
+class _DropPath(nn.Module):
+    def __init__(self, drop_prob=0.0):
+        super().__init__()
+        self.drop_prob = drop_prob
+
+    def forward(self, x):  # eval-time identity; tests never train
+        return x
+
+
+def _unavailable(name):
+    def f(*a, **k):
+        raise RuntimeError(f"stubbed {name} was called — the parity tests "
+                           "must not reach this path")
+    return f
+
+
+def _mod(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def _install_stubs():
+    if "timm" not in sys.modules:
+        timm = _mod("timm")
+        timm.data = _mod(
+            "timm.data",
+            IMAGENET_DEFAULT_MEAN=(0.485, 0.456, 0.406),
+            IMAGENET_DEFAULT_STD=(0.229, 0.224, 0.225),
+            IMAGENET_INCEPTION_MEAN=(0.5, 0.5, 0.5),
+            IMAGENET_INCEPTION_STD=(0.5, 0.5, 0.5))
+        timm.models = _mod("timm.models")
+        timm.models.helpers = _mod(
+            "timm.models.helpers",
+            build_model_with_cfg=_unavailable("build_model_with_cfg"),
+            named_apply=_unavailable("named_apply"),
+            adapt_input_conv=_unavailable("adapt_input_conv"))
+        timm.models.layers = _mod(
+            "timm.models.layers",
+            PatchEmbed=_PatchEmbed, Mlp=_Mlp, DropPath=_DropPath,
+            trunc_normal_=nn.init.trunc_normal_,
+            lecun_normal_=lambda w: nn.init.trunc_normal_(w, std=0.02))
+        timm.models.registry = _mod(
+            "timm.models.registry", register_model=lambda fn: fn)
+    if "torchvision" not in sys.modules:
+        tv = _mod("torchvision")
+        tv.transforms = _mod("torchvision.transforms")
+        tv.models = _mod("torchvision.models")
+    if "cvxopt" not in sys.modules:
+        _mod("cvxopt",
+             matrix=_unavailable("cvxopt.matrix"),
+             solvers=types.SimpleNamespace(
+                 qp=_unavailable("cvxopt.solvers.qp"),
+                 options={}))
+    if "fast_pytorch_kmeans" not in sys.modules:
+        _mod("fast_pytorch_kmeans", KMeans=_unavailable("KMeans"))
+    if "ftfy" not in sys.modules:
+        # identity is exact for the ASCII class prompts under test
+        _mod("ftfy", fix_text=lambda s: s)
+    import matplotlib
+    matplotlib.use("Agg")
+
+
+_cache = {}
+
+
+def load_ref(relpath: str, name: str):
+    """Import a reference file by path under a private module name."""
+    if name in _cache:
+        return _cache[name]
+    _install_stubs()
+    spec = importlib.util.spec_from_file_location(name, f"{REF}/{relpath}")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    _cache[name] = mod
+    return mod
+
+
+def load_saliency_methods():
+    return load_ref("util/attribution_methods/saliencyMethods.py",
+                    "_ref_saliency_methods")
+
+
+def load_agi():
+    return load_ref("util/attribution_methods/AGI.py", "_ref_agi")
+
+
+def load_mas_test_functions():
+    return load_ref("util/test_methods/MASTestFunctions.py", "_ref_mas")
+
+
+def load_rise_test_functions():
+    return load_ref("util/test_methods/RISETestFunctions.py", "_ref_rise")
+
+
+def load_clip_tokenizer():
+    mod = load_ref(
+        "util/attribution_methods/CLIP/CLIP_Surgery/clip/simple_tokenizer.py",
+        "_ref_clip_tokenizer")
+    return mod
+
+
+def load_vit_new_timm():
+    return load_ref("util/attribution_methods/VIT_LRP/ViT_new_timm.py",
+                    "_ref_vit_new_timm")
+
+
+def load_vit_explanation_generator():
+    return load_ref(
+        "util/attribution_methods/VIT_LRP/ViT_explanation_generator.py",
+        "_ref_vit_explgen")

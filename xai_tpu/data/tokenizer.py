@@ -2,18 +2,45 @@
 
 Functionally equivalent to openai-CLIP's SimpleTokenizer: byte->unicode
 mapping, merge ranks from the standard ``bpe_simple_vocab_16e6.txt.gz``
-(path supplied by the user — this environment has no network access, so the
-vocab ships separately), lowercasing + whitespace cleanup, <|startoftext|> /
-<|endoftext|> specials, fixed context length 77 with truncation.
+(bundled in this package — the same public vocab DATA file every CLIP fork
+vendors, e.g. CLIP_Surgery/clip/bpe_simple_vocab_16e6.txt.gz), lowercasing +
+whitespace cleanup, <|startoftext|> / <|endoftext|> specials, fixed context
+length 77 with truncation.
 """
 from __future__ import annotations
 
 import gzip
 import html
+import os
 import re
 from functools import lru_cache
 
 import numpy as np
+
+DEFAULT_BPE_PATH = os.path.join(os.path.dirname(__file__),
+                                "bpe_simple_vocab_16e6.txt.gz")
+CLASS_NAMES_PATH = os.path.join(os.path.dirname(__file__),
+                                "imagenet_classes.txt")
+
+
+@lru_cache()
+def imagenet_class_names() -> tuple:
+    """The 1000 human-readable ImageNet class names (the reference's
+    util/class_maps/ImageNet/imagenet_classes.txt, read at
+    evaluatePerturbation.py:65)."""
+    with open(CLASS_NAMES_PATH) as f:
+        return tuple(line.strip() for line in f if line.strip())
+
+
+def class_prompts() -> list:
+    """The reference's CLIP prompt table: "a photo of a {label}" per class
+    (evaluatePerturbation.py:699)."""
+    return [f"a photo of a {label}" for label in imagenet_class_names()]
+
+
+@lru_cache()
+def default_tokenizer():
+    return SimpleTokenizer(DEFAULT_BPE_PATH)
 
 
 @lru_cache()
@@ -45,7 +72,8 @@ def whitespace_clean(text: str) -> str:
 
 
 class SimpleTokenizer:
-    def __init__(self, bpe_path: str, context_length: int = 77):
+    def __init__(self, bpe_path: str = None, context_length: int = 77):
+        bpe_path = bpe_path or DEFAULT_BPE_PATH
         self.context_length = context_length
         self.byte_encoder = bytes_to_unicode()
         with gzip.open(bpe_path, "rt", encoding="utf-8") as f:

@@ -63,6 +63,24 @@ def _agi_attack(apply_fn, params, img, init_pred, targeted, max_iter,
     return c_delta
 
 
+def agi_raw(bundle, trans_img, selected, epsilon: float = 0.05,
+            max_iter: int = 20) -> jnp.ndarray:
+    """Summed per-target PGD deltas before percentile post-processing — the
+    reference's ``test`` return value ``adv_ex`` (AGI.py:83-115).  trans_img:
+    [H, W, 3] in [0, 1]; selected: iterable of target class ids."""
+    x = jnp.asarray(trans_img)
+    napply = _make_norm_apply(bundle.apply, bundle.meta.mean, bundle.meta.std)
+    init_pred = int(jnp.argmax(napply(bundle.params, x[None])[0]))
+
+    step_grad = jnp.zeros_like(x)
+    for t in selected:
+        if t == init_pred:
+            continue
+        step_grad = step_grad + _agi_attack(napply, bundle.params, x,
+                                            init_pred, t, max_iter, epsilon)
+    return step_grad
+
+
 def agi(bundle, trans_img, epsilon: float = 0.05, topk: int = 1,
         max_iter: int = 20) -> np.ndarray:
     """Driver configuration (evaluatePerturbation.py:119-139): attack the
@@ -72,17 +90,8 @@ def agi(bundle, trans_img, epsilon: float = 0.05, topk: int = 1,
     trans_img: [H, W, 3] image in [0, 1] (unnormalized).  Returns [H, W]
     saliency (the reference's channel-mean percentile map, :130-139).
     """
-    x = jnp.asarray(trans_img)
-    napply = _make_norm_apply(bundle.apply, bundle.meta.mean, bundle.meta.std)
-    init_pred = int(jnp.argmax(napply(bundle.params, x[None])[0]))
-
     selected = list(range(0, 999, int(1000 / topk)))
-    step_grad = jnp.zeros_like(x)
-    for t in selected:
-        if t == init_pred:
-            continue
-        step_grad = step_grad + _agi_attack(napply, bundle.params, x,
-                                            init_pred, t, max_iter, epsilon)
+    step_grad = agi_raw(bundle, trans_img, selected, epsilon, max_iter)
 
     hm = np.asarray(step_grad).mean(axis=-1)        # channel mean
     q = np.percentile(hm, 80)

@@ -283,3 +283,53 @@ def make_bundle(arch_or_cli: str, params=None, key=None, text_embeddings=None,
     return ModelBundle(meta=meta, params=params, apply=apply,
                        apply_taps=apply_taps, apply_probed=apply_probed,
                        extras=extras)
+
+
+def class_prompt_tokens(labels=None) -> "jnp.ndarray":
+    """Tokenize the reference's 1000-class prompt table "a photo of a
+    {label}" with the real BPE vocab (evaluatePerturbation.py:698-704)."""
+    from ..data.tokenizer import default_tokenizer, imagenet_class_names
+    labels = labels if labels is not None else imagenet_class_names()
+    return default_tokenizer().tokenize(
+        [f"a photo of a {label}" for label in labels])
+
+
+def attach_text_table(bundle: ModelBundle, tokens=None,
+                      chunk: int = 125) -> ModelBundle:
+    """Build the real class-prompt text-embedding table and rebind the
+    bundle's similarity closure to it.
+
+    The reference encodes 1000 "a photo of a {label}" prompts once at driver
+    startup and classifies via softmax(img·textᵀ/0.1)
+    (evaluatePerturbation.py:698-704, 68-74).  Here the per-prompt loop is a
+    chunked jitted text-tower batch.  Also stores the [1000, 77] token table
+    in ``extras['text_tokens_table']`` so token-consuming explainers
+    (game/lrp/rollout) receive the REAL prompt ids instead of round-1's
+    placeholders.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    model = bundle.extras["model"]
+    if tokens is None:
+        tokens = class_prompt_tokens()
+    tokens = np.asarray(tokens, np.int32)
+
+    enc = jax.jit(lambda p, t: model.apply({"params": p}, t,
+                                           method=CLIP.encode_text))
+    embs = []
+    for i in range(0, len(tokens), chunk):
+        embs.append(np.asarray(enc(bundle.params,
+                                   jnp.asarray(tokens[i:i + chunk]))))
+    te = jnp.asarray(np.concatenate(embs))
+    te = te / jnp.linalg.norm(te, axis=-1, keepdims=True)
+
+    encode_image = bundle.extras["encode_image"]
+
+    def apply(p, x):
+        return encode_image(p, x) @ te.T / 0.1
+
+    extras = dict(bundle.extras)
+    extras.update(text_embeddings=te, text_tokens_table=tokens)
+    return dataclasses.replace(bundle, apply=apply, extras=extras)

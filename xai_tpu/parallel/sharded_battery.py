@@ -68,22 +68,42 @@ def make_sharded_battery(apply_fn, mesh, n_steps: int, chunk: int = 45,
 
 
 def sharded_battery_scores(bundle, mesh, images, saliencies, blur_fn,
-                           chunk: int = 45, param_spec=None):
+                           chunk: int = 45, param_spec=None, targets=None):
     """Convenience wrapper: [B, H, W, C] images + [B, H, W] saliencies ->
     per-image (MAS/RISE/AIC/...) score dicts, with the reveal passes
-    sharded over the mesh.  B must be a multiple of the data-axis size."""
+    sharded over the mesh.
+
+    Any B works: batches that don't divide the data-axis size are padded
+    with copies of image 0 (masked out of the returned scores), so the full
+    mesh stays busy instead of degrading to one device.  ``targets`` are the
+    per-image explanation targets; default argmax (the reference's choice,
+    evaluatePerturbation.py:561)."""
     from ..metrics.curves import (density_response, mas_scores,
                                   monotone_normalize)
     from ..ops.stats import auc, spearman
 
     B, H = images.shape[0], images.shape[1]
     n_steps = H
-    targets = np.asarray(
-        jnp.argmax(bundle.apply(bundle.params, jnp.asarray(images)),
-                   axis=-1))
+    if targets is None:
+        targets = np.asarray(
+            jnp.argmax(bundle.apply(bundle.params, jnp.asarray(images)),
+                       axis=-1))
+    targets = np.asarray(targets)
     flips_desc = np.stack([pixel_flip_steps(s, H) for s in saliencies])
     flips_asc = np.stack(
         [pixel_flip_steps(s, H, descending=False) for s in saliencies])
+
+    data_size = mesh.shape["data"]
+    pad = (-B) % data_size
+    if pad:
+        images = np.concatenate([images, np.repeat(images[:1], pad, 0)])
+        saliencies = np.concatenate(
+            [saliencies, np.repeat(saliencies[:1], pad, 0)])
+        targets = np.concatenate([targets, np.repeat(targets[:1], pad)])
+        flips_desc = np.concatenate(
+            [flips_desc, np.repeat(flips_desc[:1], pad, 0)])
+        flips_asc = np.concatenate(
+            [flips_asc, np.repeat(flips_asc[:1], pad, 0)])
 
     run = make_sharded_battery(bundle.apply, mesh, n_steps, chunk,
                                param_spec=param_spec)
@@ -97,7 +117,7 @@ def sharded_battery_scores(bundle, mesh, images, saliencies, blur_fn,
     lerf = run(bundle.params, imgs, zeros, jnp.asarray(flips_asc), tgt)
 
     out = []
-    for i in range(B):
+    for i in range(B):       # padded tail rows are dropped here
         scores = {}
         orig = float(ins[0][i][-1])
         rise_ins = monotone_normalize(np.asarray(ins[0][i]), orig,

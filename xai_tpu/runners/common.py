@@ -63,13 +63,71 @@ def build_bundle(model_name: str, params_path: Optional[str] = None,
     else:
         b = vit.make_bundle(model_name, key=key, batch_size=batch)
     if params_path:
-        import pickle
-        with open(params_path, "rb") as f:
-            params = pickle.load(f)
+        params = load_params(params_path)
         b = type(b)(meta=b.meta, params=params, apply=b.apply,
                     apply_taps=b.apply_taps, apply_probed=b.apply_probed,
                     extras=b.extras)
+    if family == "clip":
+        # real class-prompt table (BPE-tokenized + text-tower encoded) —
+        # must happen after any params swap so the table uses those weights
+        b = clipmod.attach_text_table(b)
     return b
+
+
+def load_params(path: str):
+    """Load a converted params pytree: .npz (flat 'a/b/c' keys), .msgpack
+    (flax.serialization), or .pkl/.pickle (explicit opt-in only — pickle
+    executes arbitrary code; never feed it untrusted checkpoints)."""
+    if path.endswith(".npz"):
+        flat = np.load(path)
+        tree = {}
+        for k, v in flat.items():
+            node = tree
+            *parents, leaf = k.split("/")
+            for p in parents:
+                node = node.setdefault(p, {})
+            node[leaf] = jnp.asarray(v)
+        return tree
+    if path.endswith(".msgpack"):
+        import flax.serialization
+        with open(path, "rb") as f:
+            return jax.tree.map(jnp.asarray,
+                                flax.serialization.msgpack_restore(f.read()))
+    if path.endswith((".pkl", ".pickle")):
+        import pickle
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    raise ValueError(f"unsupported params format: {path} "
+                     "(expected .npz, .msgpack, .pkl)")
+
+
+def save_params(params, path: str) -> str:
+    """Write a params pytree as flat .npz or flax .msgpack."""
+    if path.endswith(".npz"):
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        arrays = {"/".join(str(getattr(p, "key", p)) for p in kp):
+                  np.asarray(v) for kp, v in flat}
+        np.savez(path, **arrays)
+    elif path.endswith(".msgpack"):
+        import flax.serialization
+        with open(path, "wb") as f:
+            f.write(flax.serialization.msgpack_serialize(
+                jax.tree.map(np.asarray, params)))
+    else:
+        raise ValueError(f"unsupported params format: {path}")
+    return path
+
+
+def clip_extras(bundle, target: int) -> dict:
+    """Per-image CLIP attribution context: the target class-prompt embedding
+    plus its REAL BPE token ids (the reference tokenizes the caption
+    "a photo of a {label}" at evaluatePerturbation.py:388)."""
+    te = bundle.extras["text_embeddings"]
+    ex = {"txt_emb": te[target][None]}
+    tok = bundle.extras.get("text_tokens_table")
+    if tok is not None:
+        ex["text_tokens"] = tok[target][None]
+    return ex
 
 
 def family_stats(family: str):

@@ -17,7 +17,7 @@ import numpy as np
 from ..data.segmentation import ImagenetSegmentation
 from ..metrics.seg import eval_batch
 from ..registry import AttrContext, get_attribution
-from .common import MODEL_TABLE, build_bundle, normalize_input
+from .common import MODEL_TABLE, build_bundle, clip_extras, normalize_input
 
 
 def evaluate_imagenet_seg(args) -> dict:
@@ -39,7 +39,9 @@ def evaluate_imagenet_seg(args) -> dict:
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
         ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
                           target=target, key=key,
-                          img_hw=bundle.meta.img_hw)
+                          img_hw=bundle.meta.img_hw,
+                          extras=(clip_extras(bundle, target)
+                                  if family == "clip" else None))
         sal = get_attribution(family, args.attr_func, ctx)
         correct, labeled, inter, union, ap, f1 = eval_batch(sal,
                                                             item.gt_mask)

@@ -23,7 +23,8 @@ import numpy as np
 from ..data import ImageNetValStream, load_correct_mask
 from ..metrics import run_battery
 from ..registry import AttrContext, get_attribution
-from .common import (build_bundle, default_blur, image_gates, MODEL_TABLE,
+from .common import (build_bundle, clip_extras, default_blur, image_gates,
+                     MODEL_TABLE,
                      normalize_input, write_result_csv)
 
 
@@ -35,14 +36,13 @@ def _flush_batch(bundle, batch_buf, blur, result, args):
     from ..parallel.sharded_battery import sharded_battery_scores
     import jax
 
-    n_dev = len(jax.devices())
-    usable = n_dev if len(batch_buf) % n_dev == 0 else 1
-    mesh = make_mesh(usable, model_axis=1)
+    mesh = make_mesh(model_axis=1)    # all devices; battery pads-and-masks
     imgs = np.stack([b[0] for b in batch_buf])
     sals = np.stack([b[1] for b in batch_buf])
+    targets = np.array([b[3] for b in batch_buf])
     all_scores = sharded_battery_scores(bundle, mesh, imgs, sals, blur,
-                                        chunk=45)
-    for (_, _, name), scores in zip(batch_buf, all_scores):
+                                        chunk=45, targets=targets)
+    for (_, _, name, _), scores in zip(batch_buf, all_scores):
         for k, v in scores.items():
             result[k] = result.get(k, 0.0) + v
         if args.verbose:
@@ -87,17 +87,9 @@ def evaluate_perturbation(args) -> dict:
         classes_used[target] += 1
 
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), item.index)
-        extras = None
-        if family == "clip":
-            # target caption embedding + token ids for the probed methods
-            te = bundle.extras["text_embeddings"]
-            extras = {
-                "txt_emb": te[target][None],
-                # SOT, class token, EOT, pad — placeholder ids until a real
-                # BPE vocab is supplied (argmax -> EOT position as in CLIP)
-                "text_tokens": np.array([[49406, target % 49405, 49407, 0]],
-                                        dtype=np.int32),
-            }
+        # CLIP: target prompt embedding + real BPE token ids for the probed
+        # methods (evaluatePerturbation.py:388, 698-704)
+        extras = clip_extras(bundle, target) if family == "clip" else None
         ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
                           target=target, key=key, img_hw=bundle.meta.img_hw,
                           extras=extras)
@@ -117,7 +109,7 @@ def evaluate_perturbation(args) -> dict:
                              original_pred=original_pred)
 
         if args.image_batch > 1:
-            batch_buf.append((np.asarray(x), saliency, item.name))
+            batch_buf.append((np.asarray(x), saliency, item.name, target))
             images_used += 1
             if len(batch_buf) == args.image_batch:
                 _flush_batch(bundle, batch_buf, blur, result, args)
@@ -134,10 +126,11 @@ def evaluate_perturbation(args) -> dict:
 
     if batch_buf:
         # score the leftover partial batch one image at a time (the batched
-        # path needs a full, shape-stable batch)
-        for bx, bsal, _ in batch_buf:
+        # path needs a full, shape-stable batch); pass the stored target
+        # explicitly so this path can never diverge from the batched one
+        for bx, bsal, _, btarget in batch_buf:
             scores = run_battery(bundle.apply, bundle.params, bx, bsal,
-                                 blur, chunk=45)
+                                 blur, chunk=45, target=btarget)
             for k, v in scores.items():
                 result[k] = result.get(k, 0.0) + v
         batch_buf.clear()

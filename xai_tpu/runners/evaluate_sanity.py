@@ -20,8 +20,8 @@ import numpy as np
 from ..data import ImageNetValStream, load_correct_mask
 from ..metrics.sanity import evaluate as sanity_evaluate
 from ..registry import AttrContext, get_attribution
-from .common import MODEL_TABLE, build_bundle, normalize_input, \
-    write_result_csv
+from .common import MODEL_TABLE, build_bundle, clip_extras, \
+    normalize_input, write_result_csv
 
 
 def _kaiming_uniform(key, shape, dtype):
@@ -93,10 +93,14 @@ def evaluate_sanity(args) -> dict:
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), item.index)
         ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
                           target=target, key=key,
-                          img_hw=bundle.meta.img_hw)
+                          img_hw=bundle.meta.img_hw,
+                          extras=(clip_extras(bundle, target)
+                                  if family == "clip" else None))
         ctx_r = AttrContext(bundle=rand_bundle, x=x,
                             trans_img=item.trans_img, target=target_rand,
-                            key=key, img_hw=bundle.meta.img_hw)
+                            key=key, img_hw=bundle.meta.img_hw,
+                            extras=(clip_extras(rand_bundle, target_rand)
+                                    if family == "clip" else None))
         attr = get_attribution(family, args.attr_func, ctx)
         attr_r = get_attribution(family, args.attr_func, ctx_r)
         ssim_v, spr_v, hog_v = sanity_evaluate(attr, attr_r)

@@ -14,7 +14,7 @@ import numpy as np
 from ..data import ImageNetValStream
 from ..registry import AttrContext, get_attribution, CNN_METHODS
 from ..utils.visualization import attr_to_subplot
-from .common import MODEL_TABLE, build_bundle, normalize_input
+from .common import MODEL_TABLE, build_bundle, clip_extras, normalize_input
 
 # the reference's panel lists (qualitativeGeneration.py:104-231)
 CNN_PANEL = ["grad", "inp_x_grad", "ig", "lig", "idg", "gig", "agi", "sg",
@@ -58,13 +58,8 @@ def generate(args):
         for j, name in enumerate(panel, start=1):
             ax = axs[j // cols, j % cols]
             try:
-                extras = None
-                if family == "clip":
-                    te = bundle.extras["text_embeddings"]
-                    extras = {"txt_emb": te[target][None],
-                              "text_tokens": np.array(
-                                  [[49406, target % 49405, 49407, 0]],
-                                  np.int32)}
+                extras = (clip_extras(bundle, target)
+                          if family == "clip" else None)
                 ctx = AttrContext(bundle=bundle, x=x,
                                   trans_img=item.trans_img, target=target,
                                   key=key, img_hw=bundle.meta.img_hw,
