@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from xai_tpu.methods.mda import (find_insertion_patches,
-                                 find_deletion_patches, mda,
+                                 find_deletion_patches, mda, mda_dense,
                                  _segment_saliency)
 from xai_tpu.models.common import ModelBundle, ModelMeta
 
@@ -87,3 +87,24 @@ def test_mda_end_to_end_runs():
     out = mda(b, trans, x, prior, 16, blur, target=1)
     assert out.shape == (HW, HW)
     assert np.isfinite(out).all()
+
+
+def test_mda_dense_end_to_end_runs():
+    """MDA_dense (evaluateImageNetSeg.py:291-326): kappa=-1 dense rank map,
+    bilinear smoothed; non-constant and finite on a planted model."""
+    # strong planted signal: weak signals leave the re-scored deletion curve
+    # flat, which zeroes BOTH maps via the dense/sparse.max() rescale (the
+    # reference does the same at MASCalibrate.py:969)
+    seg_w = np.zeros((HW, HW), np.float32)
+    seg_w[:4, :4] = 0.5
+    b = _planted_bundle(seg_w)
+    rs = np.random.RandomState(1)
+    trans = rs.rand(HW, HW, 3).astype(np.float32)
+    trans[:4, :4] = 1.0
+    x = jnp.asarray(trans * 2 - 1)
+    prior = np.abs(rs.rand(HW, HW, 3)).astype(np.float32)
+    blur = lambda im: im * 0.0
+    out = mda_dense(b, trans, x, prior, 16, blur, target=1)
+    assert out.shape == (HW, HW)
+    assert np.isfinite(out).all()
+    assert out.max() > out.min()  # a rank map, not a constant

@@ -280,3 +280,35 @@ def mda(bundle, trans_img, x, prior_saliency, patch_count, blur_fn,
         bundle, x, segments, seg_prior, order[:end_index + 1], blur_fn,
         patch_count, target=target, kappa=kappa)
     return map_0
+
+
+def mda_dense(bundle, trans_img, x, prior_saliency, patch_count, blur_fn,
+              target=None):
+    """The seg driver's MDA_dense (evaluateImageNetSeg.py:291-326): same
+    insertion search, but the deletion pass runs with kappa = -1 so the dense
+    map is the pure insertion-rank map, then bilinear downsize to
+    ceil(sqrt(patches)) / upsize back smooths it (:322-325).  Returns the
+    smoothed dense map [H, W]."""
+    H = np.asarray(trans_img).shape[0]
+    segments = slic(np.asarray(trans_img, np.float32), patch_count,
+                    compactness=10000.0)
+
+    small = int(patch_count ** 0.5)
+    prior = jnp.transpose(jnp.asarray(prior_saliency, jnp.float32),
+                          (2, 0, 1))
+    down = resize_bilinear(prior, (small, small))
+    seg_prior = jnp.transpose(resize_nearest_exact(down, (H, H)), (1, 2, 0))
+
+    order, mr_ins = find_insertion_patches(bundle, x, seg_prior, segments,
+                                           blur_fn, patch_count,
+                                           target=target)
+    hits = np.where(mr_ins >= 0.9)[0]
+    end_index = hits[0] if len(hits) else len(mr_ins)
+    _, _, dense = find_deletion_patches(
+        bundle, x, segments, seg_prior, order[:end_index + 1], blur_fn,
+        patch_count, target=target, kappa=-1.0)
+
+    small_side = int(np.ceil(np.sqrt(patch_count)))
+    d = resize_bilinear(jnp.asarray(dense, jnp.float32),
+                        (small_side, small_side))
+    return np.asarray(resize_bilinear(d, (H, H)))

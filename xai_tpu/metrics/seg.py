@@ -52,13 +52,39 @@ def get_f1_scores(predict_fg: np.ndarray, target: np.ndarray):
     return [float(np.nan_to_num(f1_score(t, p)))]
 
 
-def eval_batch(saliency: np.ndarray, gt_mask: np.ndarray):
-    """The seg driver's per-image evaluation (evaluateImageNetSeg.py:470-505):
-    minmax-normalize, threshold at the mean, build the 2-channel score map,
-    return the four accumulator tuples."""
+MAG_VALS = np.array([0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75,
+                     0.8, 0.85, 0.9, 0.95])
+
+
+def best_threshold(saliency: np.ndarray, gt_mask: np.ndarray):
+    """The MDA_dense / Calibrate_Best_Possible per-image threshold sweep
+    (evaluateImageNetSeg.py:331-360, imagenet_seg_eval.py:194-222):
+    minmax-normalize, rescale to mean 0.5, then pick the MAG_VALS threshold
+    maximizing IoU.  Returns (rescaled saliency, chosen threshold)."""
     sal = np.asarray(saliency, np.float64)
     sal = (sal - sal.min()) / max(sal.max() - sal.min(), 1e-12)
-    thr = sal.mean()
+    sal = sal / max(sal.mean(), 1e-12) * 0.5
+    ious = np.zeros(len(MAG_VALS))
+    for i, m in enumerate(MAG_VALS):
+        fg = (sal > m).astype(np.float64)
+        bg = (sal <= m).astype(np.float64)
+        inter, union = batch_intersection_union(np.stack([bg, fg]), gt_mask)
+        ious[i] = np.mean(inter / (np.spacing(1) + union))
+    return sal, float(MAG_VALS[int(np.argmax(ious))])
+
+
+def eval_batch(saliency: np.ndarray, gt_mask: np.ndarray,
+               thr: float | None = None, normalized: bool = False):
+    """The seg driver's per-image evaluation (evaluateImageNetSeg.py:470-505):
+    minmax-normalize, threshold at the mean (or a caller-fixed ``thr``),
+    build the 2-channel score map, return the four accumulator tuples.
+    ``normalized=True`` skips the minmax (the best_threshold path already
+    rescaled the map to match its chosen threshold)."""
+    sal = np.asarray(saliency, np.float64)
+    if not normalized:
+        sal = (sal - sal.min()) / max(sal.max() - sal.min(), 1e-12)
+    if thr is None:
+        thr = sal.mean()
     fg = (sal > thr).astype(np.float64)
     bg = (sal <= thr).astype(np.float64)
     # the reference feeds the BINARY (Res_0, Res_1) channels to pixAcc, IoU

@@ -40,13 +40,14 @@ VIT_METHODS = {
     "TIS": lambda c: _tis_entry(c),
     "VIT_CX": lambda c: _vit_cx_entry(c),
     "MDA": lambda c: _mda_entry(c),
+    "MDA_dense": lambda c: _mda_entry(c, dense=True),
 }
 
 
-def _mda_entry(ctx):
+def _mda_entry(ctx, dense: bool = False):
     import jax
     import jax.numpy as jnp
-    from .methods.mda import mda
+    from .methods.mda import mda, mda_dense
     from .ops.blur import make_blur_fn
 
     x = jnp.asarray(ctx.x)
@@ -64,6 +65,11 @@ def _mda_entry(ctx):
     prior_up = np.asarray(resize_bilinear(prior, (ctx.img_hw, ctx.img_hw)))
     prior3 = np.repeat(prior_up[..., None], 3, axis=-1)
     patch_count = ctx.bundle.meta.num_patches ** 2
+    if dense:
+        # seg-driver variant (evaluateImageNetSeg.py:291-326): dense rank
+        # map, no 3x abs-sum (it is consumed minmax-normalized)
+        return mda_dense(ctx.bundle, ctx.trans_img, x, prior3, patch_count,
+                         blur_fn, target=ctx.target)
     m = mda(ctx.bundle, ctx.trans_img, x, prior3, patch_count, blur_fn,
             target=ctx.target)
     return 3.0 * np.abs(m)

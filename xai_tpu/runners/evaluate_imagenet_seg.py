@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.segmentation import ImagenetSegmentation
-from ..metrics.seg import eval_batch
+from ..metrics.seg import best_threshold, eval_batch
 from ..registry import AttrContext, get_attribution
 from .common import MODEL_TABLE, build_bundle, clip_extras, normalize_input
 
@@ -43,8 +43,15 @@ def evaluate_imagenet_seg(args) -> dict:
                           extras=(clip_extras(bundle, target)
                                   if family == "clip" else None))
         sal = get_attribution(family, args.attr_func, ctx)
-        correct, labeled, inter, union, ap, f1 = eval_batch(sal,
-                                                            item.gt_mask)
+        if args.attr_func == "MDA_dense":
+            # per-image best-IoU threshold sweep (evaluateImageNetSeg.py:
+            # 331-360) instead of the mean threshold
+            sal, thr = best_threshold(sal, item.gt_mask)
+            correct, labeled, inter, union, ap, f1 = eval_batch(
+                sal, item.gt_mask, thr=thr, normalized=True)
+        else:
+            correct, labeled, inter, union, ap, f1 = eval_batch(
+                sal, item.gt_mask)
         total_correct += np.int64(correct)
         total_label += np.int64(labeled)
         total_inter += inter.astype(np.int64)

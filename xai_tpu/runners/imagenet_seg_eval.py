@@ -15,9 +15,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.segmentation import ImagenetSegmentation
-from ..metrics.seg import eval_batch
+from ..metrics.seg import best_threshold, eval_batch
 from ..registry import AttrContext, get_attribution
 from .common import MODEL_TABLE, build_bundle, normalize_input
+
+
+def _patch_count(bundle) -> int:
+    # CNN bundles carry num_patches=None; the reference driver's grid is
+    # fixed 14x14 there (imagenet_seg_eval.py:330 segment_count)
+    return (bundle.meta.num_patches or 14) ** 2
 
 
 def _get_attr(args, bundle, family, ctx):
@@ -30,7 +36,7 @@ def _get_attr(args, bundle, family, ctx):
         from ..methods.mas_calibrate import refine_attribution
         from ..native import slic
         seg = slic(np.asarray(ctx.trans_img, np.float32),
-                   bundle.meta.num_patches ** 2 or 196, 10000.0)
+                   _patch_count(bundle), 10000.0)
         base = np.repeat(
             np.asarray(get_attribution(family, "rollout", ctx))[..., None],
             3, axis=-1)
@@ -51,18 +57,32 @@ def run(args) -> dict:
     total_correct = np.int64(0)
     total_label = np.int64(0)
     total_ap, total_f1 = [], []
+    skipped = 0
     for i, item in enumerate(ds):
         if args.image_count and i >= args.image_count:
             break
         x = normalize_input(item.trans_img, family)
-        target = int(jnp.argmax(bundle.apply(bundle.params, x[None])[0]))
+        probs = jax.nn.softmax(bundle.apply(bundle.params, x[None])[0])
+        target = int(jnp.argmax(probs))
+        # low-confidence skip (imagenet_seg_eval.py:234: percent scale)
+        if float(probs[target]) * 100 < args.acc_cutoff:
+            skipped += 1
+            continue
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
         ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
                           target=target, key=key,
                           img_hw=bundle.meta.img_hw)
         sal = _get_attr(args, bundle, family, ctx)
-        correct, labeled, inter, union, ap, f1 = eval_batch(sal,
-                                                            item.gt_mask)
+        if args.method in ("Calibrate_Best_Possible", "MDA_dense"):
+            # per-image best-IoU threshold (imagenet_seg_eval.py:194-222)
+            sal, thr = best_threshold(sal, item.gt_mask)
+            correct, labeled, inter, union, ap, f1 = eval_batch(
+                sal, item.gt_mask, thr=thr, normalized=True)
+        else:
+            # --thr > 0 fixes the fg/bg split; 0 keeps the mean threshold
+            correct, labeled, inter, union, ap, f1 = eval_batch(
+                sal, item.gt_mask,
+                thr=args.thr if args.thr > 0 else None)
         total_correct += np.int64(correct)
         total_label += np.int64(labeled)
         total_inter += inter.astype(np.int64)
@@ -74,6 +94,9 @@ def run(args) -> dict:
     mIoU = float((total_inter / (np.spacing(1) + total_union)).mean())
     mAp = float(np.mean(total_ap)) if total_ap else 0.0
     mF1 = float(np.mean(total_f1)) if total_f1 else 0.0
+    if skipped:
+        print(f"skipped {skipped} images below --acc_cutoff "
+              f"{args.acc_cutoff}%")
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir,
                            f"{args.model}_{args.method}.txt"), "w") as fh:
@@ -91,9 +114,11 @@ def build_parser():
     p.add_argument("--model", type=str, default="VIT16")
     p.add_argument("--image_count", type=int, default=0)
     p.add_argument("--thr", type=float, default=0.0,
-                   help="fixed threshold; 0 = mean threshold")
+                   help="fixed fg/bg threshold; 0 = mean threshold")
     p.add_argument("--kappa", type=float, default=0.005)
-    p.add_argument("--acc_cutoff", type=float, default=0.9)
+    p.add_argument("--acc_cutoff", type=float, default=60.0,
+                   help="skip images whose softmax confidence (percent) is "
+                        "below this (imagenet_seg_eval.py:234; default 60)")
     p.add_argument("--epochs", type=int, default=25)
     p.add_argument("--dataset_path", type=str, default="gtsegs_ijcv.mat")
     p.add_argument("--params_path", type=str, default="")

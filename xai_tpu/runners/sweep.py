@@ -2,6 +2,11 @@
 resumable manifest (SURVEY §5 — per-run result streaming replaces the
 reference's re-run-the-shell-line crash recovery) and optional multi-host
 sharding (runs striped by jax.process_index()).
+
+Tables mirror XAI_Survey/evaluations/allPertTests.txt (84 rows),
+allSanityTests.txt (72 rows) and allSegTests.txt (76 rows incl. duplicates;
+encoded deduplicated here — VIT32 runs MDA_dense, VIT16 runs both MDA and
+MDA_dense, matching the reference's command lines).
 """
 from __future__ import annotations
 
@@ -10,37 +15,82 @@ import json
 import os
 import time
 
+_CNN = ["grad", "inp_x_grad", "ig", "lig", "idg", "gig", "agi", "sg",
+        "xrai", "gc", "gbp", "ggc", "gs", "lime", "fa", "occ"]
+_VIT = ["attn", "grad", "n_rollout", "rollout", "t_attn", "bi_attn",
+        "t_attr", "VIT_CX", "TIS", "InFlow"]
+_CLIP = ["eclip", "eclip_wo", "game", "maskclip", "rollout",
+         "selfattn", "surgery", "m2ib", "lrp"]
+
 # the reference's full paper sweep (allPertTests.txt:1-84 structure)
 PERT_SWEEP = {
-    "R101": ["grad", "inp_x_grad", "ig", "lig", "idg", "gig", "agi", "sg",
-             "xrai", "gc", "gbp", "ggc", "gs", "lime", "fa", "occ"],
-    "RNXT": ["grad", "inp_x_grad", "ig", "lig", "idg", "gig", "agi", "sg",
-             "xrai", "gc", "gbp", "ggc", "gs", "lime", "fa", "occ"],
-    "VIT16": ["attn", "grad", "n_rollout", "rollout", "t_attn", "bi_attn",
-              "t_attr", "VIT_CX", "TIS", "InFlow", "MDA"],
-    "VIT32": ["attn", "grad", "n_rollout", "rollout", "t_attn", "bi_attn",
-              "t_attr", "VIT_CX", "TIS", "InFlow", "MDA"],
-    "CLIP16": ["eclip", "eclip_wo", "game", "maskclip", "rollout",
-               "selfattn", "surgery", "m2ib", "lrp"],
-    "CLIP32": ["eclip", "eclip_wo", "game", "maskclip", "rollout",
-               "selfattn", "surgery", "m2ib", "lrp"],
+    "R101": _CNN,
+    "RNXT": _CNN,
+    "VIT16": _VIT + ["MDA"],
+    "VIT32": _VIT + ["MDA"],
+    "CLIP16": _CLIP,
+    "CLIP32": _CLIP,
 }
+
+# allSanityTests.txt:1-72 — VIT32 swaps MDA for its dense variant
+SANITY_SWEEP = {
+    "R101": _CNN,
+    "RNXT": _CNN,
+    "VIT16": _VIT + ["MDA"],
+    "VIT32": _VIT + ["MDA_dense"],
+    "CLIP16": _CLIP,
+    "CLIP32": _CLIP,
+}
+
+# allSegTests.txt:1-76 — VIT16 runs both MDA variants; duplicates collapsed
+SEG_SWEEP = {
+    "R101": _CNN,
+    "RNXT": _CNN,
+    "VIT16": _VIT + ["MDA", "MDA_dense"],
+    "VIT32": _VIT + ["MDA_dense"],
+    "CLIP16": _CLIP,
+    "CLIP32": _CLIP,
+}
+
+SWEEPS = {"pert": PERT_SWEEP, "sanity": SANITY_SWEEP, "seg": SEG_SWEEP}
+
+
+def _driver_entry(driver: str):
+    """(build_parser, evaluate_fn, default dataset flag value) per driver."""
+    if driver == "pert":
+        from .evaluate_perturbation import build_parser, evaluate_perturbation
+        return build_parser, evaluate_perturbation
+    if driver == "sanity":
+        from .evaluate_sanity import build_parser, evaluate_sanity
+        return build_parser, evaluate_sanity
+    if driver == "seg":
+        from .evaluate_imagenet_seg import build_parser, evaluate_imagenet_seg
+        return build_parser, evaluate_imagenet_seg
+    raise ValueError(f"unknown driver {driver!r}; expected pert|sanity|seg")
 
 
 def run_sweep(args):
     import jax
 
+    drivers = (list(SWEEPS) if args.drivers in ("", "all")
+               else args.drivers.split(","))
+    for d in drivers:
+        if d not in SWEEPS:
+            raise ValueError(f"unknown driver {d!r}; expected pert|sanity|seg")
+
     jobs = []
-    models = args.models.split(",") if args.models else list(PERT_SWEEP)
-    for model in models:
-        if args.methods:
-            attrs = args.methods.split(",")
-        else:
-            # CNN models not in the table reuse the R101 method list
-            attrs = PERT_SWEEP.get(
-                model, PERT_SWEEP["R101"] if model.startswith("R") else [])
-        for attr in attrs:
-            jobs.append((model, attr))
+    for driver in drivers:
+        table = SWEEPS[driver]
+        models = args.models.split(",") if args.models else list(table)
+        for model in models:
+            if args.methods:
+                attrs = args.methods.split(",")
+            else:
+                # CNN models not in the table reuse the R101 method list
+                attrs = table.get(
+                    model, table["R101"] if model.startswith("R") else [])
+            for attr in attrs:
+                jobs.append((driver, model, attr))
 
     # multi-host striping: each process takes every Nth job
     pidx = jax.process_index()
@@ -55,43 +105,52 @@ def run_sweep(args):
             for line in f:
                 rec = json.loads(line)
                 if rec.get("status") == "ok":
-                    done.add((rec["model"], rec["attr_func"]))
+                    # pre-r2 manifests have no "driver" field: treat as pert
+                    done.add((rec.get("driver", "pert"),
+                              rec["model"], rec["attr_func"]))
 
-    from .evaluate_perturbation import build_parser as pert_parser
-    from .evaluate_perturbation import evaluate_perturbation
-
-    for model, attr in jobs:
-        if (model, attr) in done:
-            print(f"skip {model}/{attr} (already in manifest)")
+    for driver, model, attr in jobs:
+        if (driver, model, attr) in done:
+            print(f"skip {driver}/{model}/{attr} (already in manifest)")
             continue
-        print(f"=== {model} {attr} ===")
+        print(f"=== {driver} {model} {attr} ===")
+        build_parser, evaluate = _driver_entry(driver)
         t0 = time.time()
-        sub = pert_parser().parse_args([
-            "--model", model, "--attr_func", attr,
-            "--image_count", str(args.image_count),
-            "--dataset_path", args.dataset_path,
-            "--synthetic", str(args.synthetic),
-            "--output_dir", args.output_dir,
-            "--class_maps_dir", args.class_maps_dir,
-        ])
+        argv = ["--model", model, "--attr_func", attr,
+                "--image_count", str(args.image_count),
+                "--synthetic", str(args.synthetic),
+                "--output_dir", args.output_dir]
+        if driver == "seg":
+            if args.seg_dataset_path:
+                argv += ["--dataset_path", args.seg_dataset_path]
+        else:
+            argv += ["--dataset_path", args.dataset_path,
+                     "--class_maps_dir", args.class_maps_dir]
+        sub = build_parser().parse_args(argv)
         try:
-            scores = evaluate_perturbation(sub)
-            rec = {"model": model, "attr_func": attr, "status": "ok",
-                   "seconds": round(time.time() - t0, 2), "scores": scores}
+            scores = evaluate(sub)
+            rec = {"driver": driver, "model": model, "attr_func": attr,
+                   "status": "ok", "seconds": round(time.time() - t0, 2),
+                   "scores": scores}
         except Exception as e:  # stream failures, keep sweeping
-            rec = {"model": model, "attr_func": attr, "status": "error",
-                   "error": f"{type(e).__name__}: {e}"}
+            rec = {"driver": driver, "model": model, "attr_func": attr,
+                   "status": "error", "error": f"{type(e).__name__}: {e}"}
         with open(manifest_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
 
 def build_parser():
     p = argparse.ArgumentParser("sweep")
+    p.add_argument("--drivers", type=str, default="pert",
+                   help="comma list of pert,sanity,seg — or 'all' for the "
+                        "full 229-run paper sweep")
     p.add_argument("--models", type=str, default="")
     p.add_argument("--methods", type=str, default="",
                    help="comma list overriding the per-model method table")
     p.add_argument("--image_count", type=int, default=1000)
     p.add_argument("--dataset_path", type=str, default="../../../ImageNet")
+    p.add_argument("--seg_dataset_path", type=str, default="",
+                   help="gtsegs_ijcv.mat path for the seg driver")
     p.add_argument("--class_maps_dir", type=str, default="")
     p.add_argument("--output_dir", type=str, default="pert_test_results")
     p.add_argument("--synthetic", type=int, default=0)
