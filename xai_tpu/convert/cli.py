@@ -26,6 +26,7 @@ ARCH_CONVERTERS = {
     "CLIP16": ("clip_from_torch", dict(vision_layers=12, text_layers=12)),
     "CLIP32": ("clip_from_torch", dict(vision_layers=12, text_layers=12)),
     "IV3": ("inception_from_torch", {}),
+    "MAXVIT": ("maxvit_from_torch", dict(depths=(2, 2, 5, 2))),
     "CONVNXT": ("convnext_from_torch", dict(depths=(3, 3, 27, 3))),
     # HF checkpoints (microsoft/swin-*, Xrenya/pvt-*, Zetatech/pvt-medium)
     "swin_tiny": ("swin_from_hf", dict(depths=(2, 2, 6, 2))),

@@ -184,6 +184,90 @@ def vit_from_torchvision(sd, depth: int = 12) -> dict:
     return params
 
 
+def maxvit_from_torch(sd, depths=(2, 2, 5, 2)) -> dict:
+    """Convert a torchvision maxvit_t state dict (torchvision/models/
+    maxvit.py naming: stem.{0,1}, blocks.B.layers.L.layers.{MBconv,
+    window_attention,grid_attention}, classifier.{2,3,5}) into the
+    models/maxvit.py MaxViTTV pytree.  BN folded with the torchvision
+    norm_layer eps (1e-3); the final classifier Linear has no bias."""
+    EPS = 1e-3
+
+    def _ln(prefix):
+        return {"scale": _np(sd[prefix + ".weight"]),
+                "bias": _np(sd[prefix + ".bias"])}
+
+    def _lin(prefix):
+        return {"kernel": _dense(sd[prefix + ".weight"]),
+                "bias": _np(sd[prefix + ".bias"])}
+
+    def _se_fc(prefix):
+        # SqueezeExcitation fc1/fc2 are 1x1 convs [out, in, 1, 1] -> Dense
+        w = _np(sd[prefix + ".weight"])[:, :, 0, 0].T
+        return {"kernel": w, "bias": _np(sd[prefix + ".bias"])}
+
+    def _attn(prefix):
+        return {
+            "norm": _ln(f"{prefix}.attn_layer.0"),
+            "attn": {
+                "qkv": _lin(f"{prefix}.attn_layer.1.to_qkv"),
+                "proj": _lin(f"{prefix}.attn_layer.1.merge"),
+                "rel_bias_table": _np(
+                    sd[f"{prefix}.attn_layer.1.relative_position_bias_table"]
+                ),
+            },
+            "mlp_norm": _ln(f"{prefix}.mlp_layer.0"),
+            "mlp_fc1": _lin(f"{prefix}.mlp_layer.1"),
+            "mlp_fc2": _lin(f"{prefix}.mlp_layer.3"),
+        }
+
+    params = {
+        "stem_conv1": {"kernel": _conv(sd["stem.0.0.weight"])},
+        "stem_bn": _fold_bn(sd, "stem.0.1", eps=EPS),
+        "stem_conv2": {"kernel": _conv(sd["stem.1.0.weight"]),
+                       "bias": _np(sd["stem.1.0.bias"])},
+        "head_norm": _ln("classifier.2"),
+        "head_pre": _lin("classifier.3"),
+        "head": {"kernel": _dense(sd["classifier.5.weight"])},
+    }
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            t = f"blocks.{s}.layers.{b}.layers"
+            mb = {
+                "pre_norm": _fold_bn(sd, f"{t}.MBconv.layers.pre_norm",
+                                     eps=EPS),
+                "conv_a": {"kernel": _conv(
+                    sd[f"{t}.MBconv.layers.conv_a.0.weight"])},
+                "bn_a": _fold_bn(sd, f"{t}.MBconv.layers.conv_a.1", eps=EPS),
+                "conv_b": {"kernel": _conv(
+                    sd[f"{t}.MBconv.layers.conv_b.0.weight"])},
+                "bn_b": _fold_bn(sd, f"{t}.MBconv.layers.conv_b.1", eps=EPS),
+                "se": {
+                    "fc1": _se_fc(
+                        f"{t}.MBconv.layers.squeeze_excitation.fc1"),
+                    "fc2": _se_fc(
+                        f"{t}.MBconv.layers.squeeze_excitation.fc2"),
+                },
+                "conv_c": {"kernel": _conv(
+                    sd[f"{t}.MBconv.layers.conv_c.weight"]),
+                    "bias": _np(sd[f"{t}.MBconv.layers.conv_c.bias"])},
+            }
+            # stride-2 first layer: proj = AvgPool + Conv1x1(bias) at .1
+            if f"{t}.MBconv.proj.1.weight" in sd:
+                mb["shortcut"] = {
+                    "kernel": _conv(sd[f"{t}.MBconv.proj.1.weight"]),
+                    "bias": _np(sd[f"{t}.MBconv.proj.1.bias"])}
+            elif f"{t}.MBconv.proj.0.weight" in sd:   # stride-1 channel change
+                mb["shortcut"] = {
+                    "kernel": _conv(sd[f"{t}.MBconv.proj.0.weight"]),
+                    "bias": _np(sd[f"{t}.MBconv.proj.0.bias"])}
+            params[f"stage{s}_block{b}"] = {
+                "mbconv": mb,
+                "window_attn": _attn(f"{t}.window_attention"),
+                "grid_attn": _attn(f"{t}.grid_attention"),
+            }
+    return params
+
+
 def vit_from_torch(sd, depth: int = 12) -> dict:
     """Convert a timm-style ViT state dict (ViT_new_timm.py naming)."""
     params = {

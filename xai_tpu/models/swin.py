@@ -33,6 +33,10 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window: int
+    # attention scale; None = head_dim ** -0.5 (swin).  torchvision MaxViT
+    # scales by feat_dim ** -0.5 instead (maxvit.py
+    # RelativePositionalMultiHeadAttention.scale_factor) — pass it here.
+    scale: float | None = None
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -42,8 +46,9 @@ class WindowAttention(nn.Module):
         qkv = nn.Dense(3 * self.dim, name="qkv")(x)
         qkv = qkv.reshape(nW, N, 3, self.num_heads, hd)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        scale = hd ** -0.5 if self.scale is None else self.scale
         attn = jnp.einsum("whnd,whmd->whnm", q, k,
-                          preferred_element_type=jnp.float32) * hd ** -0.5
+                          preferred_element_type=jnp.float32) * scale
 
         table = self.param("rel_bias_table", nn.initializers.normal(0.02),
                            ((2 * self.window - 1) ** 2, self.num_heads))
