@@ -42,10 +42,12 @@ def _compute():
 
 
 def test_golden_methods():
+    # a missing fixture is a FAILURE, not a seed opportunity: silently
+    # regenerating would turn this regression test into a no-op
+    assert os.path.exists(GOLDEN), (
+        f"golden fixture {GOLDEN} missing — it is committed to the repo; "
+        "regenerate deliberately with: python tests/test_golden.py --regen")
     got = _compute()
-    if not os.path.exists(GOLDEN):
-        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
-        np.savez(GOLDEN, **got)
     want = np.load(GOLDEN)
     for k in want.files:
         np.testing.assert_allclose(got[k], want[k], rtol=0, atol=2e-4,

@@ -57,11 +57,19 @@ def _compute():
 
 
 def test_golden_clip_methods():
+    assert os.path.exists(GOLDEN), (
+        f"golden fixture {GOLDEN} missing — regenerate deliberately with: "
+        "python tests/test_golden_clip.py --regen")
     got = _compute()
-    if not os.path.exists(GOLDEN):
-        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
-        np.savez(GOLDEN, **got)
     want = np.load(GOLDEN)
     for k in want.files:
         np.testing.assert_allclose(got[k], want[k], rtol=0, atol=5e-4,
                                    err_msg=k)
+
+
+if __name__ == "__main__":
+    import sys
+    if "--regen" in sys.argv:
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        np.savez(GOLDEN, **_compute())
+        print("regenerated", GOLDEN)

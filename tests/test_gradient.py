@@ -146,3 +146,24 @@ def test_smoothgrad_deterministic():
     # reference quirk: all channels identical (channel-0 broadcast)
     a = np.asarray(a1)
     assert np.allclose(a[..., 0], a[..., 1])
+
+
+def test_smoothgrad_sweep_matches_per_sample_loop():
+    """The folded samples*steps device sweep must reproduce the per-sample
+    IG/LIG loop it replaced (saliencyMethods.py:184-205 semantics)."""
+    b = tiny_bundle()
+    x = jnp.asarray(np.random.RandomState(3).randn(16, 16, 3), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    samples, steps, t = 4, 10, 2
+    stdev = 0.15 * (x.max() - x.min())
+    noises = stdev * jax.random.normal(key, (samples,) + x.shape, x.dtype)
+
+    for attribution, alpha_star in [("IG", 1.0), ("LIG", 0.9)]:
+        total = jnp.zeros_like(x)
+        for i in range(samples):
+            a = G.ig(b, x + noises[i], t, steps, alpha_star, 0.0, chunk=5)
+            total = total + jnp.broadcast_to(a[..., 0:1], a.shape)
+        want = np.asarray(total / samples)
+        got = np.asarray(G.smooth_grad(b, x, t, key, attribution,
+                                       steps=steps, samples=samples))
+        assert np.abs(got - want).max() < 1e-5, attribution

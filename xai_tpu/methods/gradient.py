@@ -305,6 +305,12 @@ def smooth_grad(bundle, x, target, key, attribution: str = "IG",
                 reference_quirk: bool = True) -> jnp.ndarray:
     """Gaussian-noise ensemble around IG/LIG/IDG; sigma = spread*(max-min).
 
+    TPU path: IG and LIG fold the noise-sample axis into the interpolation
+    sweep — ONE chunked ``lax.map`` fwd+VJP over samples*steps images
+    instead of `samples` separate device dispatches (the round-1 Python
+    loop).  IDG keeps the per-sample loop (its alpha-redistribution pass is
+    per-sample logic in _idg_jit).
+
     ``reference_quirk``: the reference's ``total_gradients[i], _, _ = IG(...)``
     (saliencyMethods.py:196-200) tuple-unpacks the [3,H,W] attribution over
     its channel dim, keeping only channel 0 and broadcasting it back to all 3
@@ -314,21 +320,60 @@ def smooth_grad(bundle, x, target, key, attribution: str = "IG",
     x = jnp.asarray(x)
     stdev = sigma_spread * (x.max() - x.min())
     noises = stdev * jax.random.normal(key, (samples,) + x.shape, x.dtype)
+
+    if attribution in ("IG", "LIG"):
+        alpha_star = 1.0 if attribution == "IG" else 0.9
+        bline = jnp.broadcast_to(jnp.asarray(baseline, x.dtype), x.shape)
+        chunk = min(bundle.meta.batch_size, steps)
+        while (samples * steps) % chunk:
+            chunk -= 1
+        per_sample = _sg_sweep_jit(bundle.apply, bundle.params, x, noises,
+                                   bline, steps, samples, chunk, target,
+                                   alpha_star)
+        if reference_quirk:
+            per_sample = jnp.broadcast_to(per_sample[..., 0:1],
+                                          per_sample.shape)
+        return per_sample.mean(axis=0)
+
+    if attribution != "IDG":
+        raise ValueError(attribution)
     total = jnp.zeros_like(x)
     for i in range(samples):
-        xi = x + noises[i]
-        if attribution == "IG":
-            a = ig(bundle, xi, target, steps, 1.0, baseline,
-                   chunk=int(steps / 2))
-        elif attribution == "LIG":
-            a = ig(bundle, xi, target, steps, 0.9, baseline,
-                   chunk=max(1, int(steps / 4)))
-        elif attribution == "IDG":
-            a = idg(bundle, xi, target, steps, baseline,
-                    chunk=max(1, int(steps / 4)))
-        else:
-            raise ValueError(attribution)
+        a = idg(bundle, x + noises[i], target, steps, baseline,
+                chunk=max(1, int(steps / 4)))
         if reference_quirk:
             a = jnp.broadcast_to(a[..., 0:1], a.shape)
         total = total + a
     return total / samples
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 9))
+def _sg_sweep_jit(apply_fn, params, x, noises, baseline, steps, samples,
+                  chunk, target, alpha_star):
+    # target is TRACED (it varies per image; a static target would recompile
+    # the whole samples*steps sweep for every class)
+    alphas = jnp.linspace(0.0, 1.0, steps).reshape(1, steps, 1, 1, 1)
+    xi = x[None] + noises                               # [S, H, W, C]
+    diff = xi - baseline[None]
+    images = (baseline[None, None] + alphas * diff[:, None]).reshape(
+        (samples * steps,) + x.shape)
+    grads, logits = _grads_and_logits(apply_fn, params, images, target,
+                                      chunk)
+    grads = grads.reshape((samples, steps) + x.shape)
+    if alpha_star >= 1.0:
+        mean_grads = grads.mean(axis=1)                 # [S, H, W, C]
+    else:
+        logits = logits.reshape(samples, steps)
+
+        def one_cutoff(lg):
+            cutoff = jnp.max(lg) * alpha_star
+            above = lg > cutoff
+            first = jnp.argmax(above)
+            step = jnp.where(jnp.any(above), first, 1)
+            return jnp.maximum(step, 1)
+
+        cut = jax.vmap(one_cutoff)(logits)              # [S]
+        w = (jnp.arange(steps)[None] < cut[:, None]).astype(grads.dtype)
+        mean_grads = jnp.einsum("st,sthwc->shwc", w, grads) / \
+            cut[:, None, None, None].astype(grads.dtype)
+    return mean_grads * diff
