@@ -120,6 +120,27 @@ def _install_stubs():
                  options={}))
     if "fast_pytorch_kmeans" not in sys.modules:
         _mod("fast_pytorch_kmeans", KMeans=_unavailable("KMeans"))
+    if "skimage" not in sys.modules:
+        # XRAIBuilder imports these at module top; the tested greedy core
+        # (_xrai/_xrai_fast) receives precomputed masks and never calls them
+        sk = _mod("skimage")
+        sk.segmentation = _mod(
+            "skimage.segmentation",
+            felzenszwalb=_unavailable("skimage felzenszwalb"),
+            slic=_unavailable("skimage slic"),
+            quickshift=_unavailable("skimage quickshift"))
+        sk.morphology = _mod(
+            "skimage.morphology",
+            dilation=_unavailable("skimage dilation"),
+            disk=_unavailable("skimage disk"))
+        sk.transform = _mod(
+            "skimage.transform", resize=_unavailable("skimage resize"))
+        sk.color = _mod("skimage.color",
+                        gray2rgb=_unavailable("skimage gray2rgb"))
+        sk.feature = _mod("skimage.feature", hog=_unavailable("skimage hog"))
+        sk.metrics = _mod(
+            "skimage.metrics",
+            structural_similarity=_unavailable("skimage ssim"))
     if "ftfy" not in sys.modules:
         # identity is exact for the ASCII class prompts under test
         _mod("ftfy", fix_text=lambda s: s)
@@ -165,6 +186,31 @@ def load_clip_tokenizer():
         "util/attribution_methods/CLIP/CLIP_Surgery/clip/simple_tokenizer.py",
         "_ref_clip_tokenizer")
     return mod
+
+
+def load_gig():
+    return load_ref("util/attribution_methods/GIGBuilder.py", "_ref_gig")
+
+
+def load_xrai():
+    return load_ref("util/attribution_methods/XRAIBuilder.py", "_ref_xrai")
+
+
+def load_aic():
+    return load_ref("util/test_methods/AICTestFunctions.py", "_ref_aic")
+
+
+def load_monotonicity():
+    return load_ref("util/test_methods/MonotonicityTest.py", "_ref_mono")
+
+
+def load_posneg():
+    return load_ref("util/test_methods/PosNegPertFunctions.py",
+                    "_ref_posneg")
+
+
+def load_pic():
+    return load_ref("util/test_methods/PICTestFunctions.py", "_ref_pic")
 
 
 def load_vit_new_timm():
