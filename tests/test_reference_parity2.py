@@ -183,6 +183,23 @@ def test_posneg_matches_reference(cnn_pair, x64, mode):
     assert np.abs(np.asarray(gresp) - rresp).max() < 1e-5
 
 
+@pytest.mark.parametrize("mode", ["ins", "del", "lerf"])
+def test_rise_matches_reference(cnn_pair, x64, mode):
+    rrise = rl.load_rise_test_functions()
+    tm, bundle = cnn_pair
+    sal = np.abs(np.asarray(x64).sum(-1)).astype(np.float64)
+    rn, rent, rnorm = rrise.RISEMetric(
+        tm, HW_PIX, mode, STEP, substrate_fn=torch.zeros_like).single_run(
+        _t(x64), sal.copy(), "cpu", max_batch_size=4)
+    gn, gent, gnorm = jclassic.RISEMetric(
+        bundle, HW_PIX, mode, STEP,
+        substrate_fn=lambda im: im * 0.0).single_run(
+        x64, sal.copy(), max_batch_size=4)
+    assert gn == rn
+    assert np.abs(np.asarray(gnorm) - rnorm).max() < 1e-5
+    assert np.abs(np.asarray(gent) - rent).max() < 1e-4
+
+
 # ---------------------------------------------------------------------------
 # PIC (PICTestFunctions.py compute_pic_metric) — SIC and AIC variants
 # ---------------------------------------------------------------------------
@@ -194,7 +211,10 @@ def test_pic_matches_reference(cnn_pair, method):
     rs = np.random.RandomState(4)
     img = rs.rand(64, 64, 3).astype(np.float32)      # [0, 1] pixels
     sal = rs.rand(64, 64)
-    random_mask = jpic.generate_random_mask(64, 64, 0.02)
+    # seeded: the normalization divides by (original - blurred) prediction,
+    # which can amplify f32 forward noise on an unlucky random mask
+    random_mask = jpic.generate_random_mask(64, 64, 0.02,
+                                            rng=np.random.RandomState(9))
     thresholds = [0.05, 0.1, 0.3, 0.6]
 
     want = rpic.compute_pic_metric(
