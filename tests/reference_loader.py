@@ -213,6 +213,26 @@ def load_pic():
     return load_ref("util/test_methods/PICTestFunctions.py", "_ref_pic")
 
 
+def load_vit_lrp_timm():
+    """Load the reference's relprop LRP ViT (ViT_LRP_timm.py).  It uses
+    relative imports (.util.layers_ours), so it is loaded as a proper
+    package with submodule search locations."""
+    name = "_ref_vit_lrp_pkg"
+    if name in _cache:
+        return _cache[name]
+    _install_stubs()
+    import importlib
+    base = f"{REF}/util/attribution_methods/VIT_LRP"
+    spec = importlib.util.spec_from_file_location(
+        name, f"{base}/__init__.py", submodule_search_locations=[base])
+    pkg = importlib.util.module_from_spec(spec)
+    sys.modules[name] = pkg
+    spec.loader.exec_module(pkg)
+    mod = importlib.import_module(f"{name}.ViT_LRP_timm")
+    _cache[name] = mod
+    return mod
+
+
 def load_vit_new_timm():
     return load_ref("util/attribution_methods/VIT_LRP/ViT_new_timm.py",
                     "_ref_vit_new_timm")

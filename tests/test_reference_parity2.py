@@ -231,6 +231,61 @@ def test_pic_matches_reference(cnn_pair, method):
 
 
 # ---------------------------------------------------------------------------
+# LRP transformer attribution (ViT_LRP_timm.py relprop + generate_LRP)
+# ---------------------------------------------------------------------------
+
+def test_transformer_attribution_matches_reference_lrp():
+    """t_attr: the reference's full relprop sweep (ViT_LRP_timm.relprop with
+    alpha=1 + grad*cam rollout) vs the closed-form reverse sweep in
+    methods/vit_lrp.py, on a shared-weight tiny LRP ViT."""
+    from xai_tpu.convert import vit_from_torch
+    from xai_tpu.methods.vit_lrp import transformer_attribution
+    from xai_tpu.models import vit as jvit
+
+    vl = rl.load_vit_lrp_timm()
+    eg = rl.load_vit_explanation_generator()
+    torch.manual_seed(0)
+    tm = vl.VisionTransformer(img_size=32, patch_size=8, embed_dim=32,
+                              depth=3, num_heads=4, num_classes=13).eval()
+    with torch.no_grad():
+        tm.cls_token.normal_(0, 0.5)
+        tm.pos_embed.normal_(0, 0.5)
+        tm.head.weight.normal_(0, 0.2)
+        tm.head.bias.normal_(0, 0.2)
+    params = vit_from_torch(tm.state_dict(), depth=3)
+
+    cfg = jvit.ViTConfig(patch=8, embed_dim=32, depth=3, num_heads=4,
+                         num_classes=13, img_hw=32)
+    jm = jvit.VisionTransformer(cfg)
+    meta = ModelMeta(name="tiny_lrp", family="vit", img_hw=32,
+                     num_classes=13, num_patches=4, batch_size=8)
+    bundle = ModelBundle(
+        meta=meta, params=params,
+        apply=lambda p, x: jm.apply({"params": p}, x),
+        apply_taps=lambda p, x: jm.apply({"params": p}, x, taps=True),
+        apply_probed=lambda p, x, probes: jm.apply({"params": p}, x,
+                                                   probes=probes, taps=True),
+        extras=cfg)
+
+    x = np.random.RandomState(2).randn(1, 32, 32, 3).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    # shared weights really are shared (no torch.no_grad: the LRP model
+    # registers gradient hooks on attention inside forward)
+    ref_logits = tm(xt).detach().numpy()
+    got_logits = np.asarray(bundle.apply(params, jnp.asarray(x)))
+    assert np.abs(got_logits - ref_logits).max() < 1e-4
+
+    tgt = 7
+    want = eg.LRP(tm).generate_LRP(
+        xt, tgt, method="transformer_attribution", start_layer=0,
+        device="cpu").detach().numpy()[0]
+    got = np.asarray(transformer_attribution(bundle, x, tgt))
+    scale = max(np.abs(want).max(), 1e-12)
+    assert np.abs(got - want).max() < 1e-4 * scale
+
+
+# ---------------------------------------------------------------------------
 # LIME weighted ridge solve vs sklearn (the vendored lime's regressor is
 # sklearn Ridge(alpha=1), lime/lime_base.py)
 # ---------------------------------------------------------------------------
