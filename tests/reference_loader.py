@@ -79,7 +79,11 @@ def _unavailable(name):
 
 
 def _mod(name, **attrs):
+    import importlib.machinery
     m = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec() on the stub works
+    # (transformers probes optional deps that way)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(m, k, v)
     sys.modules[name] = m
@@ -110,7 +114,20 @@ def _install_stubs():
             "timm.models.registry", register_model=lambda fn: fn)
     if "torchvision" not in sys.modules:
         tv = _mod("torchvision")
-        tv.transforms = _mod("torchvision.transforms")
+        tv.transforms = _mod(
+            "torchvision.transforms",
+            Normalize=_unavailable("tv.Normalize"),
+            Compose=_unavailable("tv.Compose"),
+            InterpolationMode=types.SimpleNamespace(
+                BICUBIC="bicubic", NEAREST_EXACT="nearest-exact",
+                BILINEAR="bilinear"),
+            ToTensor=_unavailable("tv.ToTensor"),
+            Resize=_unavailable("tv.Resize"),
+            CenterCrop=_unavailable("tv.CenterCrop"),
+            RandomResizedCrop=_unavailable("tv.RandomResizedCrop"))
+        tv.transforms.functional = _mod(
+            "torchvision.transforms.functional",
+            to_pil_image=_unavailable("tv.to_pil_image"))
         tv.models = _mod("torchvision.models")
     if "cvxopt" not in sys.modules:
         _mod("cvxopt",
@@ -211,6 +228,33 @@ def load_posneg():
 
 def load_pic():
     return load_ref("util/test_methods/PICTestFunctions.py", "_ref_pic")
+
+
+def load_clip_surgery_model():
+    """The vendored openai-naming CLIP model class (CLIP_Surgery fork)."""
+    return load_ref(
+        "util/attribution_methods/CLIP/CLIP_Surgery/clip/clip_model.py",
+        "_ref_clip_surgery_model")
+
+
+def load_generate_emap():
+    """The CLIP explainer hub (eclip/maskclip/selfattn + dense encode) —
+    loaded as a package: it relative-imports the vendored CLIP forks."""
+    name = "_ref_clip_pkg"
+    if name in _cache:
+        return _cache[name]
+    _install_stubs()
+    if "clip" not in sys.modules:
+        _mod("clip", tokenize=_unavailable("clip.tokenize"),
+             load=_unavailable("clip.load"))
+    import importlib
+    base = f"{REF}/util/attribution_methods/CLIP"
+    pkg = types.ModuleType(name)          # no __init__.py in the folder:
+    pkg.__path__ = [base]                 # synthesize a namespace package
+    sys.modules[name] = pkg
+    mod = importlib.import_module(f"{name}.generate_emap")
+    _cache[name] = mod
+    return mod
 
 
 def load_vit_lrp_timm():

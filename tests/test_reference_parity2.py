@@ -230,6 +230,40 @@ def test_pic_matches_reference(cnn_pair, method):
     assert abs(float(got.auc) - float(want.auc)) < 1e-5
 
 
+def test_pic_both_metrics_and_aggregate_match_reference(cnn_pair):
+    """compute_both_metrics (one sweep -> SIC+AIC, PICTestFunctions.py:
+    348-466) and aggregate_individual_pic_results (:494-532)."""
+    rpic = rl.load_pic()
+    tm, bundle = cnn_pair
+    rs = np.random.RandomState(11)
+    thresholds = [0.05, 0.1, 0.3, 0.6]
+    results_sic_got, results_sic_want = [], []
+    for seed in (5, 6):
+        img = rs.rand(64, 64, 3).astype(np.float32)
+        sal = rs.rand(64, 64)
+        random_mask = jpic.generate_random_mask(
+            64, 64, 0.02, rng=np.random.RandomState(seed))
+        want_sic, want_aic = rpic.compute_both_metrics(
+            img, sal, random_mask, thresholds, tm, "cpu",
+            normalization=lambda t: t, num_data_points=100)
+        got_sic, got_aic = jpic.compute_both_metrics(
+            bundle, img, sal, random_mask, thresholds,
+            normalize_fn=None, num_data_points=100)
+        for got, want in ((got_sic, want_sic), (got_aic, want_aic)):
+            assert np.abs(np.asarray(got.curve_y) - want.curve_y).max() < 1e-5
+            assert abs(float(got.auc) - float(want.auc)) < 1e-5
+        results_sic_got.append(got_sic)
+        results_sic_want.append(want_sic)
+    for method in ("mean", "median"):
+        agg_want = rpic.aggregate_individual_pic_results(
+            results_sic_want, method=method)
+        agg_got = jpic.aggregate_individual_pic_results(
+            results_sic_got, method=method)
+        assert np.abs(np.asarray(agg_got.curve_y) - agg_want.curve_y
+                      ).max() < 1e-5
+        assert abs(float(agg_got.auc) - float(agg_want.auc)) < 1e-5
+
+
 # ---------------------------------------------------------------------------
 # LRP transformer attribution (ViT_LRP_timm.py relprop + generate_LRP)
 # ---------------------------------------------------------------------------

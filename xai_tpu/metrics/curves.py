@@ -94,13 +94,13 @@ def patch_flip_steps(saliency: np.ndarray, patch_mask: np.ndarray,
 # the device engine
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6))
-def _curves_device(apply_fn, params, start, finish, flip_step,
-                   n_steps: int, chunk: int, target):
+def _curves_core(apply_fn, params, start, finish, flip_step,
+                 n_steps: int, chunk: int, target):
     """start/finish: [H, W, C]; flip_step: [H*W] int32.
 
     Returns probs of target, top1 indicator, entropy at steps 0..n_steps.
-    """
+    Pure trace-time function — jitted via _curves_device or inlined into
+    the fused battery."""
     H, W, C = start.shape
     mask_hw = flip_step.reshape(H, W, 1)
 
@@ -117,6 +117,29 @@ def _curves_device(apply_fn, params, start, finish, flip_step,
     tp, top1, ent = jax.lax.map(jax.vmap(probs_at), steps)
     return (tp.reshape(-1)[:total], top1.reshape(-1)[:total],
             ent.reshape(-1)[:total])
+
+
+_curves_device = functools.partial(jax.jit, static_argnums=(0, 5, 6))(
+    _curves_core)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 6, 7))
+def _battery_device(apply_fn, blur_fn, params, x, desc, asc,
+                    n_steps: int, chunk: int, target):
+    """The entire metric battery's device work as ONE dispatch: blur
+    substrate, target selection (argmax when target < 0), and all three
+    reveal passes.  Eager per-op dispatches cost ~30-120 ms each on the
+    axon tunnel, so the fused form is ~10x the per-pass version."""
+    blurred = blur_fn(x[None])[0]
+    zeros = jnp.zeros_like(x)
+    t = jax.lax.cond(
+        target < 0,
+        lambda: jnp.argmax(apply_fn(params, x[None])[0]).astype(jnp.int32),
+        lambda: jnp.asarray(target, jnp.int32))
+    ins = _curves_core(apply_fn, params, blurred, x, desc, n_steps, chunk, t)
+    dele = _curves_core(apply_fn, params, x, zeros, desc, n_steps, chunk, t)
+    lerf = _curves_core(apply_fn, params, x, zeros, asc, n_steps, chunk, t)
+    return ins, dele, lerf, t
 
 
 def reveal_curves(apply_fn, params, start, finish, flip_step, n_steps: int,
@@ -137,21 +160,36 @@ def reveal_curves(apply_fn, params, start, finish, flip_step, n_steps: int,
     ent = np.asarray(ent)
     if original_img is None:
         raise ValueError("original_img required")
-    o_logits = apply_fn(params, jnp.asarray(original_img)[None])[0]
-    o_probs = jax.nn.softmax(o_logits)
-    original_pred = float(o_probs[target])
     # figure out which end is the substituted one: the one that isn't the
     # original image's curve endpoint. Caller passes direction via flip order;
     # baseline is always the final state when start==original (deletion) or
-    # the initial state when finish==original (insertion).
+    # the initial state when finish==original (insertion).  The ORIGINAL
+    # image's prediction is the opposite endpoint — step 0 is exactly `start`
+    # (flip steps are 1-indexed) and step n is exactly `finish` — so no
+    # separate forward is needed; an eager bundle.apply here used to cost
+    # ~650 ms/pass on the axon tunnel.
     if np.allclose(np.asarray(original_img), np.asarray(start)):
+        original_pred = float(tp[0])
         baseline_pred = float(tp[-1])
         baseline_top1 = float(top1[-1])
-    else:
+    elif np.allclose(np.asarray(original_img), np.asarray(finish)):
+        original_pred = float(tp[-1])
+        baseline_pred = float(tp[0])
+        baseline_top1 = float(top1[0])
+    else:   # original is neither endpoint (no current caller does this)
+        o_probs = jax.nn.softmax(
+            _jit_apply(apply_fn)(params, jnp.asarray(original_img)[None])[0])
+        original_pred = float(o_probs[target])
         baseline_pred = float(tp[0])
         baseline_top1 = float(top1[0])
     return CurveOutputs(tp, top1, ent, original_pred, baseline_pred,
                         baseline_top1)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_apply(apply_fn):
+    """jit an apply function keyed by its identity (stable per bundle)."""
+    return jax.jit(apply_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -232,25 +270,25 @@ def run_battery(apply_fn, params, input_img, saliency, blur_fn,
     n_steps = (hw + step_size - 1) // step_size
 
     x = jnp.asarray(input_img)
-    blurred = blur_fn(x[None])[0]
-    zeros = jnp.zeros_like(x)
-
-    if target is None:
-        logits = apply_fn(params, x[None])[0]
-        target = int(jnp.argmax(logits))
-
     desc = pixel_flip_steps(saliency, step_size, descending=True)
     asc = pixel_flip_steps(saliency, step_size, descending=False)
 
-    # pass 1: blur substrate, insertion direction (start=blur, finish=input)
-    ins = reveal_curves(apply_fn, params, blurred, x, desc, n_steps, target,
-                        chunk, original_img=x)
-    # pass 2: zeros substrate, deletion direction (start=input, finish=zeros)
-    dele = reveal_curves(apply_fn, params, x, zeros, desc, n_steps, target,
-                         chunk, original_img=x)
-    # pass 3: zeros substrate, LeRF (ascending deletion)
-    lerf = reveal_curves(apply_fn, params, x, zeros, asc, n_steps, target,
-                         chunk, original_img=x)
+    # one fused device dispatch: blur + target + 3 reveal passes
+    # (pass 1: blur/ins; pass 2: zeros/del; pass 3: zeros/lerf)
+    raw_ins, raw_del, raw_lerf, _ = jax.device_get(_battery_device(
+        apply_fn, blur_fn, params, x, jnp.asarray(desc), jnp.asarray(asc),
+        n_steps, chunk, -1 if target is None else int(target)))
+
+    def _outs(raw, insertion):
+        tp, top1, ent = (np.asarray(v) for v in raw)
+        # original is the clean-input endpoint; baseline the substituted one
+        o, b = (-1, 0) if insertion else (0, -1)
+        return CurveOutputs(tp, top1, ent, float(tp[o]), float(tp[b]),
+                            float(top1[b]))
+
+    ins = _outs(raw_ins, True)
+    dele = _outs(raw_del, False)
+    lerf = _outs(raw_lerf, False)
 
     # --- MAS ins/del (blur-ins, zeros-del; MASTestFunctions) ---
     rise_ins = monotone_normalize(ins.target_prob, ins.original_pred,

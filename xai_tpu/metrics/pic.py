@@ -139,3 +139,91 @@ def compute_pic_metric(bundle, img, saliency_map, random_mask,
     cx = np.append(cx, 1.0)
     cy = np.append(cy, 1.0)
     return PicResult(cx, cy, float(np.trapezoid(cy, cx)))
+
+
+def compute_both_metrics(bundle, img, saliency_map, random_mask,
+                         saliency_thresholds: Sequence[float] = None,
+                         normalize_fn=None, keep_monotonous: bool = True,
+                         num_data_points: int = 1000):
+    """SIC and AIC from ONE threshold sweep (PICTestFunctions.py:348-466).
+
+    One forward per blurred image yields both the softmax value (SIC) and the
+    top-1 indicator (AIC).  Reference quirk preserved: the AIC curve is
+    normalized by the ORIGINAL image's softmax (getPrediction(...,-1,1) hits
+    the intendedClass==-1 branch, :141-145), not by 1.0; no degenerate-case
+    early return exists in this variant.
+    """
+    saliency_thresholds = saliency_thresholds or DEFAULT_THRESHOLDS
+
+    def predict(arr):
+        """-> (softmax of target / of argmax if target<0, top1 class)."""
+        x = jnp.asarray(arr, jnp.float32)
+        if normalize_fn is not None:
+            x = normalize_fn(x)
+        probs = jax.nn.softmax(bundle.apply(bundle.params, x[None])[0])
+        return np.asarray(probs), int(jnp.argmax(probs))
+
+    orig_entropy = estimate_image_entropy((img * 255).astype(np.uint8))
+    fully_blurred = create_blurred_image(img, random_mask)
+    blurred_entropy = estimate_image_entropy(
+        (fully_blurred * 255).astype(np.uint8))
+
+    oprobs, target = predict(img)
+    original_pred = float(oprobs[target])        # used by BOTH curves
+    bprobs, _ = predict(fully_blurred)
+    blurred_pred = float(bprobs[target])
+
+    pairs_sic, pairs_aic = [], []
+    max_np_sic = max_np_aic = 0.0
+    for threshold in saliency_thresholds:
+        q = np.quantile(saliency_map, 1 - threshold)
+        mask = np.logical_or(saliency_map >= q, random_mask)
+        blurred = create_blurred_image(img, mask)
+        entropy = estimate_image_entropy((blurred * 255).astype(np.uint8))
+        probs, cls = predict(blurred)
+        pred_sic = float(probs[target])
+        pred_aic = float(cls == target)
+        ne = np.clip((entropy - blurred_entropy) /
+                     (orig_entropy - blurred_entropy), 0.0, 1.0)
+        np_sic = np.clip((pred_sic - blurred_pred) /
+                         (original_pred - blurred_pred), 0.0, 1.0)
+        np_aic = np.clip((pred_aic - blurred_pred) /
+                         (original_pred - blurred_pred), 0.0, 1.0)
+        max_np_sic = max(max_np_sic, np_sic)
+        max_np_aic = max(max_np_aic, np_aic)
+        pairs_sic.append((ne, max_np_sic if keep_monotonous else np_sic))
+        pairs_aic.append((ne, max_np_aic if keep_monotonous else np_aic))
+
+    def _curve(pairs):
+        pairs = pairs + [(0.0, 0.0), (1.0, 1.0)]
+        ex, py = zip(*pairs)
+        f = interpolate.interp1d(x=ex, y=py)
+        cx = np.linspace(0.0, 1.0, num_data_points, endpoint=False)
+        cy = np.asarray([f(v) for v in cx])
+        cx = np.append(cx, 1.0)
+        cy = np.append(cy, 1.0)
+        return PicResult(cx, cy, float(np.trapezoid(cy, cx)))
+
+    return _curve(pairs_sic), _curve(pairs_aic)
+
+
+def aggregate_individual_pic_results(results, method: str = "median"
+                                     ) -> PicResult:
+    """Mean/median aggregate curve over per-image PicResults
+    (PICTestFunctions.py:494-532)."""
+    if not results:
+        raise ValueError("The list of results should have at least one "
+                         "element.")
+    curve_xs = np.asarray([r.curve_x for r in results])
+    _, counts = np.unique(curve_xs, axis=1, return_counts=True)
+    if not np.all(counts == 1):
+        raise ValueError("Individual results have different x-axis data "
+                         "points.")
+    curve_ys = np.asarray([r.curve_y for r in results])
+    if method == "mean":
+        y = np.mean(curve_ys, axis=0)
+    elif method == "median":
+        y = np.median(curve_ys, axis=0)
+    else:
+        raise ValueError(f"Unknown method {method}.")
+    return PicResult(curve_xs[0], y, float(np.trapezoid(y, curve_xs[0])))

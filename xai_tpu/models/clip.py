@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import ModelBundle, ModelMeta
+from .common import ModelBundle, ModelMeta, jit_bundle
 
 
 @dataclasses.dataclass(frozen=True)
@@ -280,7 +280,7 @@ def make_bundle(arch_or_cli: str, params=None, key=None, text_embeddings=None,
     extras = {"cfg": cfg, "model": model,
               "text_embeddings": text_embeddings,
               "encode_image": encode_image}
-    return ModelBundle(meta=meta, params=params, apply=apply,
+    return jit_bundle(meta=meta, params=params, apply=apply,
                        apply_taps=apply_taps, apply_probed=apply_probed,
                        extras=extras)
 

@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import ModelBundle, ModelMeta
+from .common import ModelBundle, ModelMeta, jit_bundle
 
 
 class CNBlock(nn.Module):
@@ -87,7 +87,7 @@ def make_bundle(arch: str = "convnext_tiny", params=None, key=None,
     def apply_taps(p, x):
         return model.apply({"params": p}, x, taps=True)
 
-    return ModelBundle(meta=meta, params=params, apply=apply,
+    return jit_bundle(meta=meta, params=params, apply=apply,
                        apply_taps=apply_taps, extras={"model": model})
 
 

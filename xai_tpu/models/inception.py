@@ -8,7 +8,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import ModelBundle, ModelMeta
+from .common import ModelBundle, ModelMeta, jit_bundle
 from .resnet import FoldedBN
 
 
@@ -180,7 +180,7 @@ def make_bundle(params=None, key=None, batch_size: int = 25) -> ModelBundle:
     def apply_taps(p, x):
         return model.apply({"params": p}, x, taps=True)
 
-    return ModelBundle(meta=meta, params=params, apply=apply,
+    return jit_bundle(meta=meta, params=params, apply=apply,
                        apply_taps=apply_taps, extras={"model": model})
 
 

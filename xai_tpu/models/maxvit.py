@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import ModelBundle, ModelMeta
+from .common import ModelBundle, ModelMeta, jit_bundle
 from .swin import WindowAttention, _window_partition, _window_reverse
 
 
@@ -283,5 +283,5 @@ def make_bundle(params=None, key=None, batch_size: int = 25,
     def apply_taps(p, x):
         return model.apply({"params": p}, x, taps=True)
 
-    return ModelBundle(meta=meta, params=params, apply=apply,
+    return jit_bundle(meta=meta, params=params, apply=apply,
                        apply_taps=apply_taps, extras={"model": model})

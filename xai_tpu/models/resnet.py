@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import ModelBundle, ModelMeta
+from .common import ModelBundle, ModelMeta, jit_bundle
 
 
 class FoldedBN(nn.Module):
@@ -182,6 +182,6 @@ def make_bundle(arch_or_cli: str, params=None, key=None,
     def apply_probed(p, x, probes):
         return model.apply({"params": p}, x, taps=True, probes=probes)
 
-    return ModelBundle(meta=meta, params=params, apply=apply,
+    return jit_bundle(meta=meta, params=params, apply=apply,
                        apply_taps=apply_taps, apply_probed=apply_probed,
                        extras={"model": model})

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import ModelBundle, ModelMeta
+from .common import ModelBundle, ModelMeta, jit_bundle
 
 
 def _rel_position_index(ws: int) -> np.ndarray:
@@ -324,5 +324,5 @@ def make_bundle(arch: str = "swin_tiny", params=None, key=None,
     def apply_taps(p, x):
         return model.apply({"params": p}, x, taps=True)
 
-    return ModelBundle(meta=meta, params=params, apply=apply,
+    return jit_bundle(meta=meta, params=params, apply=apply,
                        apply_taps=apply_taps, extras={"model": model})

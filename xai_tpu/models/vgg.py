@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import ModelBundle, ModelMeta
+from .common import ModelBundle, ModelMeta, jit_bundle
 
 # torchvision cfgs: number = conv out-channels, "M" = maxpool
 CFGS = {
@@ -78,5 +78,5 @@ def make_bundle(arch: str, params=None, key=None,
     def apply_taps(p, x):
         return model.apply({"params": p}, x, taps=True)
 
-    return ModelBundle(meta=meta, params=params, apply=apply,
+    return jit_bundle(meta=meta, params=params, apply=apply,
                        apply_taps=apply_taps)

@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import ModelBundle, ModelMeta
+from .common import ModelBundle, ModelMeta, jit_bundle
 
 
 @dataclasses.dataclass(frozen=True)
@@ -219,6 +219,6 @@ def make_bundle(arch_or_cli: str, params=None, key=None,
     def apply_tokens(p, x, token_indices):
         return model.apply({"params": p}, x, token_indices=token_indices)
 
-    return ModelBundle(meta=meta, params=params, apply=apply,
+    return jit_bundle(meta=meta, params=params, apply=apply,
                        apply_taps=apply_taps, apply_probed=apply_probed,
                        apply_tokens=apply_tokens, extras=cfg)

@@ -63,10 +63,8 @@ def build_bundle(model_name: str, params_path: Optional[str] = None,
     else:
         b = vit.make_bundle(model_name, key=key, batch_size=batch)
     if params_path:
-        params = load_params(params_path)
-        b = type(b)(meta=b.meta, params=params, apply=b.apply,
-                    apply_taps=b.apply_taps, apply_probed=b.apply_probed,
-                    extras=b.extras)
+        import dataclasses
+        b = dataclasses.replace(b, params=load_params(params_path))
     if family == "clip":
         # real class-prompt table (BPE-tokenized + text-tower encoded) —
         # must happen after any params swap so the table uses those weights
