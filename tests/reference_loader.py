@@ -78,6 +78,21 @@ def _unavailable(name):
     return f
 
 
+def _unavailable_cls(name):
+    """Constructible-but-unusable stub: modules build transform objects at
+    import time (e.g. generate_emap's module-level Compose([ToTensor(), ..]));
+    only *applying* them must fail."""
+    class C:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):
+            raise RuntimeError(f"stubbed {name} was applied — the parity "
+                               "tests must not reach this path")
+    C.__name__ = name
+    return C
+
+
 def _mod(name, **attrs):
     import importlib.machinery
     m = types.ModuleType(name)
@@ -116,15 +131,15 @@ def _install_stubs():
         tv = _mod("torchvision")
         tv.transforms = _mod(
             "torchvision.transforms",
-            Normalize=_unavailable("tv.Normalize"),
-            Compose=_unavailable("tv.Compose"),
+            Normalize=_unavailable_cls("tv.Normalize"),
+            Compose=_unavailable_cls("tv.Compose"),
             InterpolationMode=types.SimpleNamespace(
                 BICUBIC="bicubic", NEAREST_EXACT="nearest-exact",
                 BILINEAR="bilinear"),
-            ToTensor=_unavailable("tv.ToTensor"),
-            Resize=_unavailable("tv.Resize"),
-            CenterCrop=_unavailable("tv.CenterCrop"),
-            RandomResizedCrop=_unavailable("tv.RandomResizedCrop"))
+            ToTensor=_unavailable_cls("tv.ToTensor"),
+            Resize=_unavailable_cls("tv.Resize"),
+            CenterCrop=_unavailable_cls("tv.CenterCrop"),
+            RandomResizedCrop=_unavailable_cls("tv.RandomResizedCrop"))
         tv.transforms.functional = _mod(
             "torchvision.transforms.functional",
             to_pil_image=_unavailable("tv.to_pil_image"))
@@ -255,6 +270,13 @@ def load_generate_emap():
     mod = importlib.import_module(f"{name}.generate_emap")
     _cache[name] = mod
     return mod
+
+
+def load_mm_clip_model():
+    """The Game_MM_CLIP fork's hookable CLIP model class (clip/model.py with
+    auxilary.MultiheadAttention attn_probs capture)."""
+    load_generate_emap()
+    return sys.modules["_ref_clip_pkg.Game_MM_CLIP.clip.model"]
 
 
 def load_vit_lrp_timm():

@@ -238,9 +238,14 @@ def game(bundle, x, text_tokens, start_layer: int = -1) -> jnp.ndarray:
     x = jnp.asarray(x)
     if x.ndim == 3:
         x = x[None]
+    text_tokens = jnp.asarray(text_tokens)
+    if x.shape[0] == 1 and text_tokens.shape[0] > 1:
+        # reference repeats the image per caption (mm_interpret :134-135) so
+        # the diagonal one_hot gives each caption its own relevance slice
+        x = jnp.repeat(x, text_tokens.shape[0], axis=0)
     cfg = bundle.extras["cfg"]
     vtap, _, gv, _ = _mm_grads(bundle.extras["model"], cfg, bundle.params,
-                               x, jnp.asarray(text_tokens))
+                               x, text_tokens)
     sl = cfg.vision_layers - 1 if start_layer == -1 else start_layer
     R = _relevance(vtap["attn"], gv, sl)
     rel = R[:, 0, 1:]
@@ -255,10 +260,12 @@ def clip_lrp(bundle, x, text_tokens, start_layer: int = 0,
     x = jnp.asarray(x)
     if x.ndim == 3:
         x = x[None]
+    text_tokens = jnp.asarray(text_tokens)
+    if x.shape[0] == 1 and text_tokens.shape[0] > 1:
+        x = jnp.repeat(x, text_tokens.shape[0], axis=0)
     cfg = bundle.extras["cfg"]
     vtap, ttap, gv, gt = _mm_grads(bundle.extras["model"], cfg,
-                                   bundle.params, x,
-                                   jnp.asarray(text_tokens))
+                                   bundle.params, x, text_tokens)
     R_img = _relevance(vtap["attn"], gv, start_layer)
     R_txt = _relevance(ttap["attn"], gt, start_layer_text)
     p = cfg.grid
