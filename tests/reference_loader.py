@@ -93,6 +93,39 @@ def _unavailable_cls(name):
     return C
 
 
+class _TorchResize:
+    """Functional replica of torchvision.transforms.Resize for TENSOR
+    inputs with an explicit (h, w) size: torchvision's tensor path calls
+    the very same torch kernel (F.interpolate bilinear, half-pixel,
+    antialias flag) — no torchvision needed."""
+
+    def __init__(self, size, interpolation=None, antialias=None, **kw):
+        if not isinstance(size, (tuple, list)):
+            raise RuntimeError("_TorchResize supports explicit (h, w) only")
+        self.size = list(size)
+        self.antialias = bool(antialias)
+
+    def __call__(self, t):
+        import torch.nn.functional as F
+        if not torch.is_tensor(t):
+            raise RuntimeError("_TorchResize supports tensors only")
+        nd = t.dim()
+        x = t[None] if nd == 3 else t
+        out = F.interpolate(x, size=self.size, mode="bilinear",
+                            align_corners=False, antialias=self.antialias)
+        return out[0] if nd == 3 else out
+
+
+class _Compose:
+    def __init__(self, fns):
+        self.fns = fns
+
+    def __call__(self, t):
+        for f in self.fns:
+            t = f(t)
+        return t
+
+
 def _mod(name, **attrs):
     import importlib.machinery
     m = types.ModuleType(name)
@@ -132,18 +165,23 @@ def _install_stubs():
         tv.transforms = _mod(
             "torchvision.transforms",
             Normalize=_unavailable_cls("tv.Normalize"),
-            Compose=_unavailable_cls("tv.Compose"),
+            Compose=_Compose,
             InterpolationMode=types.SimpleNamespace(
                 BICUBIC="bicubic", NEAREST_EXACT="nearest-exact",
                 BILINEAR="bilinear"),
             ToTensor=_unavailable_cls("tv.ToTensor"),
-            Resize=_unavailable_cls("tv.Resize"),
+            Resize=_TorchResize,
             CenterCrop=_unavailable_cls("tv.CenterCrop"),
             RandomResizedCrop=_unavailable_cls("tv.RandomResizedCrop"))
         tv.transforms.functional = _mod(
             "torchvision.transforms.functional",
             to_pil_image=_unavailable("tv.to_pil_image"))
         tv.models = _mod("torchvision.models")
+    if "ttach" not in sys.modules:
+        _mod("ttach",                   # test-time augmentation, only used
+             Compose=_unavailable("ttach.Compose"),       # by base_cam's
+             HorizontalFlip=_unavailable("ttach.HFlip"),  # aug_smooth path
+             Multiply=_unavailable("ttach.Multiply"))
     if "cvxopt" not in sys.modules:
         _mod("cvxopt",
              matrix=_unavailable("cvxopt.matrix"),
@@ -268,6 +306,22 @@ def load_generate_emap():
     pkg.__path__ = [base]                 # synthesize a namespace package
     sys.modules[name] = pkg
     mod = importlib.import_module(f"{name}.generate_emap")
+    _cache[name] = mod
+    return mod
+
+
+def load_vit_cx():
+    """The reference's ViT-CX package (clustered-mask causal scoring) —
+    relative imports (.get_feature_map, .causal_score) need a package."""
+    name = "_ref_vit_cx"
+    if name in _cache:
+        return _cache[name]
+    _install_stubs()
+    import importlib
+    pkg = types.ModuleType(name)
+    pkg.__path__ = [f"{REF}/util/attribution_methods/ViT_CX"]
+    sys.modules[name] = pkg
+    mod = importlib.import_module(f"{name}.ViT_CX")
     _cache[name] = mod
     return mod
 

@@ -309,3 +309,32 @@ def test_vit_rave_matches_reference(vit_pair, xv):
     ref, _ = base.generate_RAVE(_tv(xv), VT, withgrad=True, device="cpu")
     got = np.asarray(VE.rave(bundle, jnp.asarray(xv), VT, withgrad=True))
     assert np.abs(got - ref.detach().numpy()[0]).max() < 1e-5
+
+
+def test_vit_cx_matches_reference(vit_pair, xv, monkeypatch):
+    """ViT-CX (ViT_CX/ViT_CX.py + causal_score.py): norm1 feature maps ->
+    minmax masks -> complete-link clustering -> noisy causal scoring.  The
+    reference draws its Gaussian noise internally (causal_score.py:30), so
+    torch.randn is recorded and the same samples are injected into ours."""
+    vcx = rl.load_vit_cx()
+    from xai_tpu.methods import vit_cx as jvcx
+    tm, bundle = vit_pair
+    drawn = {}
+    orig_randn = torch.randn
+
+    def rec(*a, **k):
+        t = orig_randn(*a, **k)
+        drawn["t"] = t
+        return t
+
+    monkeypatch.setattr(torch, "randn", rec)
+    torch.manual_seed(5)
+    want, _ = vcx.ViT_CX(tm, _tv(xv), tm.blocks[-1].norm1,
+                         target_category=VT, gpu_batch=64, device="cpu")
+    want = want.numpy()
+    want = (want - want.min()) / (want.max() - want.min())
+    noise = drawn["t"].permute(0, 2, 3, 1).numpy() * 0.1
+    got = np.asarray(jvcx.vit_cx(bundle, jnp.asarray(xv), target=VT,
+                                 gpu_batch=64, noise=noise))
+    # f32 softmax accumulation over ~2K masked forwards -> a few 1e-4
+    assert np.abs(got - want).max() < 1e-3, np.abs(got - want).max()

@@ -57,9 +57,14 @@ def _causal_scores(apply_fn, params, x, masks, noise, chunk, class_p,
 
 
 def vit_cx(bundle, x, target=None, distance_threshold: float = 0.1,
-           gpu_batch: int = 50, key=None) -> np.ndarray:
+           gpu_batch: int = 50, key=None, noise=None) -> np.ndarray:
     """Returns the minmax-normalized [H, W] map the driver consumes
-    (evaluatePerturbation.py:231-235)."""
+    (evaluatePerturbation.py:231-235).
+
+    ``noise``: optional pre-drawn [K, H, W, 3] Gaussian noise (already
+    scaled by 0.1) overriding the key-based draw — used by the direct
+    parity test to share torch.randn samples with the reference's
+    causal_score (causal_score.py:30)."""
     x = jnp.asarray(x)
     if x.ndim == 4:
         x = x[0]
@@ -94,7 +99,11 @@ def vit_cx(bundle, x, target=None, distance_threshold: float = 0.1,
         cluster_masks[l] += masks[i]
     cluster_masks = _norm_rows(cluster_masks).reshape(K, H, H)
 
-    noise = jax.random.normal(key, (K, H, H, 3)) * 0.1
+    if noise is None:
+        noise = jax.random.normal(key, (K, H, H, 3)) * 0.1
+    else:
+        noise = jnp.asarray(noise)
+        assert noise.shape == (K, H, H, 3), (noise.shape, K)
     chunk = min(gpu_batch, K)
     sal = _causal_scores(bundle.apply, bundle.params, x,
                          jnp.asarray(cluster_masks), noise, chunk, class_p,
