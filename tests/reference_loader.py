@@ -17,6 +17,7 @@ import importlib.util
 import sys
 import types
 
+import numpy as np
 import torch
 import torch.nn as nn
 
@@ -100,19 +101,25 @@ class _TorchResize:
     antialias flag) — no torchvision needed."""
 
     def __init__(self, size, interpolation=None, antialias=None, **kw):
-        if not isinstance(size, (tuple, list)):
-            raise RuntimeError("_TorchResize supports explicit (h, w) only")
-        self.size = list(size)
-        self.antialias = bool(antialias)
+        # int = shorter-side resize; equals (s, s) for the square inputs
+        # used throughout the reference
+        self.size = [size, size] if isinstance(size, int) else list(size)
+        self.mode = ("nearest-exact"
+                     if str(interpolation) == "nearest-exact" else "bilinear")
+        self.antialias = bool(antialias) and self.mode == "bilinear"
 
     def __call__(self, t):
         import torch.nn.functional as F
         if not torch.is_tensor(t):
             raise RuntimeError("_TorchResize supports tensors only")
+        if self.size[0] == self.size[1] and t.shape[-1] != t.shape[-2]:
+            raise RuntimeError("_TorchResize int-size needs square input")
         nd = t.dim()
         x = t[None] if nd == 3 else t
-        out = F.interpolate(x, size=self.size, mode="bilinear",
-                            align_corners=False, antialias=self.antialias)
+        kw = {"antialias": True} if self.antialias else {}
+        out = F.interpolate(x, size=self.size, mode=self.mode,
+                            **({"align_corners": False}
+                               if self.mode == "bilinear" else {}), **kw)
         return out[0] if nd == 3 else out
 
 
@@ -124,6 +131,45 @@ class _Compose:
         for f in self.fns:
             t = f(t)
         return t
+
+
+def _cvx_matrix(data, size=None, tc=None):
+    """cvxopt.matrix replica: dense float array, column-major reshape."""
+    import numpy as _np
+    arr = _np.asarray(data, dtype=float)
+    if size is not None:
+        arr = arr.reshape(size, order="F")
+    return arr
+
+
+def _cvx_qp(Q, c, G=None, h=None, A=None, b=None):
+    """cvxopt.solvers.qp replica for the small dense QPs in the reference
+    (min 1/2 x'Qx + c'x s.t. Gx<=h, Ax=b) — an INDEPENDENT oracle solver
+    (scipy SLSQP), so parity tests of our projection code don't compare it
+    against itself."""
+    import numpy as _np
+    from scipy import optimize
+    Qm = _np.asarray(Q, float)
+    cm = _np.asarray(c, float).reshape(-1)
+    n = cm.size
+    cons = []
+    if G is not None:
+        Gm = _np.asarray(G, float)
+        hm = _np.asarray(h, float).reshape(-1)
+        cons.append({"type": "ineq", "fun": lambda x: hm - Gm @ x,
+                     "jac": lambda x: -Gm})
+    if A is not None:
+        Am = _np.asarray(A, float).reshape(-1, n)
+        bm = _np.asarray(b, float).reshape(-1)
+        cons.append({"type": "eq", "fun": lambda x: Am @ x - bm,
+                     "jac": lambda x: Am})
+    x0 = _np.clip(_np.linalg.lstsq(Qm, -cm, rcond=None)[0], 0.0, 1.0)
+    res = optimize.minimize(
+        lambda x: 0.5 * x @ Qm @ x + cm @ x, x0,
+        jac=lambda x: Qm @ x + cm, constraints=cons, method="SLSQP",
+        options={"maxiter": 1000, "ftol": 1e-14})
+    return {"x": res.x.reshape(-1, 1),
+            "status": "optimal" if res.success else str(res.message)}
 
 
 def _mod(name, **attrs):
@@ -184,10 +230,8 @@ def _install_stubs():
              Multiply=_unavailable("ttach.Multiply"))
     if "cvxopt" not in sys.modules:
         _mod("cvxopt",
-             matrix=_unavailable("cvxopt.matrix"),
-             solvers=types.SimpleNamespace(
-                 qp=_unavailable("cvxopt.solvers.qp"),
-                 options={}))
+             matrix=_cvx_matrix,
+             solvers=types.SimpleNamespace(qp=_cvx_qp, options={}))
     if "fast_pytorch_kmeans" not in sys.modules:
         _mod("fast_pytorch_kmeans", KMeans=_unavailable("KMeans"))
     if "skimage" not in sys.modules:
@@ -205,6 +249,13 @@ def _install_stubs():
             disk=_unavailable("skimage disk"))
         sk.transform = _mod(
             "skimage.transform", resize=_unavailable("skimage resize"))
+        sk.util = _mod(
+            "skimage.util",
+            # float images pass through unchanged (the only use here:
+            # MDAFunctions.py:602 on an already-float transformed image)
+            img_as_float=lambda a: np.asarray(a, dtype=np.float64)
+            if np.issubdtype(np.asarray(a).dtype, np.floating)
+            else np.asarray(a, dtype=np.float64) / 255.0)
         sk.color = _mod("skimage.color",
                         gray2rgb=_unavailable("skimage gray2rgb"))
         sk.feature = _mod("skimage.feature", hog=_unavailable("skimage hog"))
@@ -307,6 +358,36 @@ def load_generate_emap():
     sys.modules[name] = pkg
     mod = importlib.import_module(f"{name}.generate_emap")
     _cache[name] = mod
+    return mod
+
+
+def load_mda():
+    """MDAFunctions.py — needs `util.*` absolute imports (MASTestFunctions)
+    resolvable, so /root/reference goes on sys.path for the import."""
+    name = "_ref_mda"
+    if name in _cache:
+        return _cache[name]
+    _install_stubs()
+    sys.path.insert(0, REF)
+    try:
+        mod = load_ref("util/attribution_methods/MDAFunctions.py", name)
+    finally:
+        sys.path.remove(REF)
+    return mod
+
+
+def load_mas_calibrate():
+    """MASCalibrate.py (differentiable MAS + refine_attribution) — same
+    util.* absolute-import handling as MDAFunctions."""
+    name = "_ref_mas_calibrate"
+    if name in _cache:
+        return _cache[name]
+    _install_stubs()
+    sys.path.insert(0, REF)
+    try:
+        mod = load_ref("util/attribution_methods/MASCalibrate.py", name)
+    finally:
+        sys.path.remove(REF)
     return mod
 
 

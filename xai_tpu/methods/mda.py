@@ -135,11 +135,28 @@ def find_insertion_patches(bundle, x, prior_segmented, segments, blur_fn,
     seg_sal = _segment_saliency(sal2d, segments, n_steps)
     order = list(np.flip(np.argsort(seg_sal)))      # high -> low
 
-    picked, responses, _, _ = _greedy_search(
+    picked, responses, _, early = _greedy_search(
         bundle, start, x, segments, order, n_steps, target, "max",
         n_searches=n_searches, cutoff=cutoff,
         norm_pair=(original_pred, blur_pred))
-    return np.array(picked), np.array(responses)
+    if early:
+        # early-exit return: the raw response list with the final entry set
+        # to the cutoff value (MDAFunctions.py:190-192)
+        return np.array(picked), np.array(responses)
+    # full completion: the reference returns original_MR — the monotone-
+    # normalized insertion curve with blur_pred prepended (length n+1,
+    # :265-291) — and MDA applies its 90% hand-off cutoff to THIS curve
+    curve = np.array([blur_pred] + list(responses), np.float64)
+    mx = 0.0
+    for i in range(len(curve)):
+        v = np.clip((curve[i] - blur_pred) / abs(original_pred - blur_pred),
+                    0.0, 1.0)
+        mx = max(mx, v)
+        curve[i] = mx
+    return np.array(picked), curve
+
+
+_LAST_DEBUG: dict = {}     # introspection for the direct parity tests
 
 
 def find_deletion_patches(bundle, x, segments, prior_segmented,
@@ -192,7 +209,9 @@ def find_deletion_patches(bundle, x, segments, prior_segmented,
                     abs(original_pred - black_pred), 0.0, 1.0)
         mn = min(mn, v)
         curve[i] = mn
+    _LAST_DEBUG["stage1_in"] = curve.copy()
     curve = project_curve(curve, "del")
+    _LAST_DEBUG["stage1_out"] = curve.copy()
 
     best_order = list(reversed(worst_segments))
     seg_flat = segments.reshape(-1)
@@ -228,6 +247,9 @@ def find_deletion_patches(bundle, x, segments, prior_segmented,
     raw_del = np.interp(x_new, x_old, raw_del)
     new_curve = 1 - np.mean([raw_ins, 1 - raw_del], axis=0)
     curve = project_curve(new_curve, "del")
+    _LAST_DEBUG.update(best_order=best_order, final_curve=curve,
+                       pre_qp_curve=new_curve, raw_ins=raw_ins,
+                       raw_del=raw_del, new_map=new_map)
 
     # sparse / dense maps + kappa blending (:564-591)
     sparse = np.zeros(H * H)
