@@ -32,11 +32,14 @@ def test_calibrate_density_map_sums_to_curve_drop():
     m = calibrate_density(b, x, attr, mode="del", blur_fn=_blur0)
     assert m.shape == (HW, HW, 3)
     assert np.isfinite(m).all()
-    # total per-channel mass equals total response drop (resp[0]-resp[-1])
+    # per-pixel value is the FULL step delta (the reference's len() of a
+    # [1, step_size] tensor is 1, MASCalibrate.py:1044 — no division), so
+    # total per-channel mass = step_size * total response drop
     resp = mas_response(b, x, attr, "del", blur_fn=_blur0)
     from xai_tpu.native import project_curve
     resp = project_curve(np.asarray(resp, np.float64), "del")
-    assert abs(m[..., 0].sum() - (resp[0] - resp[-1])) < 1e-6
+    step_size = HW * HW // HW
+    assert abs(m[..., 0].sum() - step_size * (resp[0] - resp[-1])) < 1e-5
 
 
 def test_remove_pixels_zeroes_tail():

@@ -185,3 +185,42 @@ def test_refine_attribution_matches_reference(pair224, fixtures224):
     scale = max(np.abs(want).max(), 1e-9)
     assert np.abs(got - want).max() / scale < 5e-3, \
         np.abs(got - want).max() / scale
+
+
+def test_calibrate_density_matches_reference(pair224, fixtures224):
+    """MASCalibrate.calibrate_density (:985-1050): QP-project the raw
+    response, rebuild the map from the projected derivative."""
+    mc = rl.load_mas_calibrate()
+    from xai_tpu.methods import mas_calibrate as jmc
+    tm, bundle = pair224
+    x, prior, _ = fixtures224
+    timg = torch.from_numpy(x.transpose(2, 0, 1))[None]
+    # total_steps=16 keeps the oracle QP at n=17, where SLSQP is exact
+    for mode, t in (("del", 0), ("ins", 1)):
+        want = mc.calibrate_density(timg, torch.from_numpy(prior), tm,
+                                    "cpu", total_steps=16, img_hw=HW,
+                                    type=t).detach().numpy()
+        got = np.asarray(jmc.calibrate_density(bundle, x, prior,
+                                               total_steps=16, mode=mode))
+        scale = max(np.abs(want).max(), 1e-9)
+        assert np.abs(got - want).max() / scale < 5e-3, \
+            (mode, np.abs(got - want).max() / scale)
+
+
+def test_remove_pixels_matches_reference(pair224, fixtures224):
+    """MASCalibrate.remove_pixels (:1051-1094): zero the attribution tail
+    where the response derivative is flat."""
+    mc = rl.load_mas_calibrate()
+    from xai_tpu.methods import mas_calibrate as jmc
+    tm, bundle = pair224
+    x, prior, _ = fixtures224
+    timg = torch.from_numpy(x.transpose(2, 0, 1))[None]
+    for mode, t in (("del", 0), ("ins", 1)):
+        want = mc.remove_pixels(timg, torch.from_numpy(prior), tm, "cpu",
+                                total_steps=HW, img_hw=HW,
+                                type=t).detach().numpy()
+        got = np.asarray(jmc.remove_pixels(bundle, x, prior,
+                                           total_steps=HW, mode=mode))
+        scale = max(np.abs(want).max(), 1e-9)
+        assert np.abs(got - want).max() / scale < 1e-4, \
+            (mode, np.abs(got - want).max() / scale)

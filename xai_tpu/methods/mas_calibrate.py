@@ -71,10 +71,10 @@ def _special_normalize(resp, mode):
 
 
 def _prep(bundle, x, sal2d, mode, segments=None, segment_order=None,
-          blur_fn=None, chunk=25, special_version=False):
+          blur_fn=None, chunk=25, special_version=False, total_steps=None):
     """Non-differentiable prep: flip schedule + normalized responses."""
     H = x.shape[0]
-    n_px_steps = H
+    n_px_steps = total_steps or H
     if segments is None:
         flip = pixel_flip_steps(sal2d, int(H * H / n_px_steps))
         n_steps = n_px_steps
@@ -155,12 +155,13 @@ def heuristic_lr(attr_3c) -> float:
 
 
 def mas_response(bundle, x, attr_3c, mode, segments=None,
-                 special_version=False, blur_fn=None):
+                 special_version=False, blur_fn=None, total_steps=None):
     """The MAS preprocess=1 path (MASCalibrate.py:1286-1287): just the
     normalized model response."""
     sal2d = np.abs(np.asarray(attr_3c).sum(-1))
     _, resp, _ = _prep(bundle, np.asarray(x), sal2d, mode, segments,
-                       None, blur_fn, special_version=special_version)
+                       None, blur_fn, special_version=special_version,
+                       total_steps=total_steps)
     return resp
 
 
@@ -175,7 +176,8 @@ def calibrate_density(bundle, x, attr_3c, total_steps=None, mode="del",
     step_size = int(H * H / total_steps)
     n_steps = (H * H + step_size - 1) // step_size
     resp = mas_response(bundle, x, attr_3c, mode, blur_fn=blur_fn,
-                        special_version=special_version)
+                        special_version=special_version,
+                        total_steps=total_steps)
     resp = project_curve(np.asarray(resp, np.float64), mode)
 
     sal2d = np.abs(np.asarray(attr_3c).sum(-1))
@@ -188,7 +190,10 @@ def calibrate_density(bundle, x, attr_3c, total_steps=None, mode="del",
         else:
             t = resp[i] - resp[i - 1]
         coords = order[step_size * (i - 1): step_size * i]
-        new_map[coords] = (1.0 / len(coords)) * t
+        # NO division: the reference divides by len(coords) where coords is
+        # a [1, step_size] tensor, so len() is 1 (MASCalibrate.py:1044) —
+        # the per-pixel value is the full step delta
+        new_map[coords] = t
     return np.repeat(new_map.reshape(H, H, 1), 3, axis=2)
 
 
@@ -199,8 +204,9 @@ def remove_pixels(bundle, x, attr_3c, total_steps=None, mode="del",
     x = np.asarray(x)
     H = x.shape[0]
     total_steps = total_steps or H
-    resp = np.asarray(mas_response(bundle, x, attr_3c, mode, segments,
-                                   special_version, blur_fn))
+    resp = np.asarray(mas_response(
+        bundle, x, attr_3c, mode, segments, special_version, blur_fn,
+        total_steps=None if segments is not None else total_steps))
     if mode == "del":
         deriv = np.abs(np.diff(np.insert(resp, 0, 1.0)))
     else:

@@ -100,9 +100,12 @@ def quickshift(image: np.ndarray, ratio: float = 0.2,
     return quickshift_np(img, ratio, kernel_size, max_dist)
 
 
-def project_curve(y: np.ndarray, mode: str, iters: int = 2000) -> np.ndarray:
+def project_curve(y: np.ndarray, mode: str,
+                  iters: int = 100000) -> np.ndarray:
     """Projection of a curve onto {convex (del) / concave (ins), [0,1] box,
-    fixed endpoints} — the cvxopt QP (MASTestFunctions.py:311-350)."""
+    fixed endpoints} — the cvxopt QP (MASTestFunctions.py:311-350).
+    Dykstra converges linearly, so the cap is high; both backends exit
+    early once a sweep stops moving."""
     yv = np.ascontiguousarray(y, dtype=np.float64)
     out = np.empty_like(yv)
     m = 0 if mode == "del" else 1

@@ -144,26 +144,43 @@ def quickshift_np(img, ratio=0.2, kernel_size=4.0, max_dist=200.0):
     return labels.reshape(H, W).astype(np.int32)
 
 
-def project_curve_np(y, mode, iters=2000):
+def project_curve_np(y, mode, iters=100000):
+    """Dykstra projection onto {bounds, endpoints, convex/concave} — the
+    curvature halfspaces are swept in 3 interleaved colour groups (stride-3
+    constraints touch disjoint coordinate triples), which vectorizes the
+    inner loop while remaining a cyclic Dykstra scheme with the same fixed
+    point.  Early exit when a full sweep no longer moves anything; strongly
+    infeasible curves need ~1e4-1e5 sweeps (linear convergence rate)."""
     n = len(y)
-    x = y.copy()
+    x = y.astype(np.float64).copy()
     c = np.array([-1.0, 2.0, -1.0]) if mode == "del" else \
         np.array([1.0, -2.0, 1.0])
     norm2 = 6.0
     corr = np.zeros(n - 2)
     corr_box = np.zeros(n)
-    for _ in range(iters):
+    colors = [np.arange(col, n - 2, 3) for col in range(3)]
+    for it in range(iters):
         v = x + corr_box
         p = np.clip(v, 0, 1)
         p[0], p[-1] = y[0], y[-1]
         corr_box = v - p
         x = p
-        for i in range(n - 2):
-            a_dot = c[0] * x[i] + c[1] * x[i + 1] + c[2] * x[i + 2] + \
-                corr[i] * norm2
-            t = max(a_dot, 0.0) / norm2
-            x[i:i + 3] += (corr[i] - t) * c
-            corr[i] = t
+        max_step = 0.0
+        for idx in colors:
+            if len(idx) == 0:
+                continue
+            a_dot = (c[0] * x[idx] + c[1] * x[idx + 1] + c[2] * x[idx + 2]
+                     + corr[idx] * norm2)
+            t = np.maximum(a_dot, 0.0) / norm2
+            d = corr[idx] - t
+            x[idx] += d * c[0]
+            x[idx + 1] += d * c[1]
+            x[idx + 2] += d * c[2]
+            corr[idx] = t
+            if len(d):
+                max_step = max(max_step, float(np.abs(d).max()))
+        if max_step < 1e-14 and it > 0:
+            break
     x = np.clip(x, 0, 1)
     x[0], x[-1] = y[0], y[-1]
     return x

@@ -372,17 +372,27 @@ void project_curve(const double* y, int n, int mode, int iters, double* x) {
     }
     // halfspace projections (cyclic); each correction is stored as the
     // scalar multiple t of its constraint normal a (Dykstra: v = x + t*a)
+    double max_step = 0.0;
     for (int i = 0; i < m; i++) {
       double a_dot = c0 * (xv[i]) + c1 * (xv[i + 1]) + c2 * (xv[i + 2]) +
                      corr[i] * norm2;
       double t = a_dot > 0 ? a_dot / norm2 : 0.0;
       // new correction = (v - P(v)) expressed in multiples of a:
       // v = x + corr*a ; P(v) = v - t*a ; corr_new = t
-      xv[i] += corr[i] * c0 - t * c0;
-      xv[i + 1] += corr[i] * c1 - t * c1;
-      xv[i + 2] += corr[i] * c2 - t * c2;
+      double d = corr[i] - t;
+      xv[i] += d * c0;
+      xv[i + 1] += d * c1;
+      xv[i + 2] += d * c2;
       corr[i] = t;
+      double ad = d > 0 ? d : -d;
+      if (ad > max_step) max_step = ad;
     }
+    // converged: no projection moved anything this sweep.  Dykstra's rate
+    // is linear, so strongly infeasible curves (e.g. S-shaped responses
+    // projected onto the concave cone) genuinely need 1e4-1e5 sweeps —
+    // the early exit makes a large `iters` cap affordable for the easy
+    // majority.
+    if (max_step < 1e-14 && it > 0) break;
   }
   // final feasibility pass: box + endpoints exactly (residual halfspace
   // violation is O(1/iters))
