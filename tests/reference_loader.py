@@ -443,3 +443,19 @@ def load_vit_explanation_generator():
     return load_ref(
         "util/attribution_methods/VIT_LRP/ViT_explanation_generator.py",
         "_ref_vit_explgen")
+
+
+def load_util_module(dotted: str):
+    """Import a module from the reference's real `util` package (for files
+    with relative imports like MACBuilder's `from ..test_methods import`)."""
+    if dotted in _cache:
+        return _cache[dotted]
+    _install_stubs()
+    import importlib
+    sys.path.insert(0, REF)
+    try:
+        mod = importlib.import_module(dotted)
+    finally:
+        sys.path.remove(REF)
+    _cache[dotted] = mod
+    return mod

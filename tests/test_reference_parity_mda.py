@@ -224,3 +224,33 @@ def test_remove_pixels_matches_reference(pair224, fixtures224):
         scale = max(np.abs(want).max(), 1e-9)
         assert np.abs(got - want).max() / scale < 1e-4, \
             (mode, np.abs(got - want).max() / scale)
+
+
+# ---------------------------------------------------------------------------
+# MAC (MACBuilder.py): MAF retrieval + iterative denoising
+# ---------------------------------------------------------------------------
+
+def test_mac_clean_attribution_matches_reference(pair224, fixtures224):
+    """Denoise.clean_attribution (:269-362) with explicit segments (the
+    felzenszwalb default is covered by our own segmentation tests): scores,
+    iteration count, and the best map must match."""
+    mcb = rl.load_util_module("util.attribution_methods.MACBuilder")
+    from xai_tpu.methods import mac as jmac
+    tm, bundle = pair224
+    x, prior, segments = fixtures224
+    timg = torch.from_numpy(x.transpose(2, 0, 1))[None]
+    for mode in ("ins", "del"):
+        den = mcb.Denoise(tm, HW, "cpu", substrate_fn=_blur_t, mode=mode,
+                          segments=segments, cutoff=5)
+        want_map, want_iters, want_sum = den.clean_attribution(
+            timg, prior.copy(), iterations=3, max_batch_size=8)
+        got_map, got_iters, got_sum = jmac.clean_attribution(
+            bundle, x, x, prior, 3, mode=mode, blur_fn=_blur_j,
+            segments=segments)
+        assert want_sum == got_sum, (mode, want_sum, got_sum)
+        assert int(want_iters) == int(got_iters), (mode, want_iters,
+                                                   got_iters)
+        want_map = np.asarray(want_map)
+        scale = max(np.abs(want_map).max(), 1e-9)
+        assert np.abs(np.asarray(got_map) - want_map).max() / scale < 1e-3, \
+            (mode, np.abs(np.asarray(got_map) - want_map).max() / scale)

@@ -23,8 +23,10 @@ def _segment_reveal(bundle, x, sal2d, segments, mode, blur_fn, chunk=25):
     flip = patch_flip_steps(sal2d, segments)
     n_steps = int(np.asarray(segments).max()) + 1
     x = jnp.asarray(x)
+    # MAC deletes TO THE SUBSTRATE, not to zeros (RetrieveMAF
+    # MACBuilder.py:88-90: finish = substrate_fn(img) in del mode)
     if mode == "del":
-        start, finish = x, jnp.zeros_like(x)
+        start, finish = x, blur_fn(x[None])[0]
     else:
         start, finish = blur_fn(x[None])[0], x
     target = int(jnp.argmax(bundle.apply(bundle.params, x[None])[0]))
@@ -107,8 +109,10 @@ def clean_attribution(bundle, trans_img, x, saliency_3c, iterations: int,
         # score via the pixel-ranked MAS metric (MACBuilder.py:303-314)
         flip = pixel_flip_steps(sal2d, H)
         xj = jnp.asarray(x)
+        # the scoring MASMetric also gets substrate_fn as its substrate
+        # (MACBuilder.py:304), so del reveals toward the substrate
         if mode == "del":
-            start, finish = xj, jnp.zeros_like(xj)
+            start, finish = xj, blur_fn(xj[None])[0]
         else:
             start, finish = blur_fn(xj[None])[0], xj
         target = int(jnp.argmax(bundle.apply(bundle.params, xj[None])[0]))
