@@ -257,3 +257,58 @@ def test_clip_lrp_matches_reference(mm_pair, xc, tok3):
     scale = max(np.abs(want).max(), 1e-6)
     assert np.abs(got - want).max() / scale < 1e-3, \
         np.abs(got - want).max() / scale
+
+
+# ---------------------------------------------------------------------------
+# CLIP Surgery: dual-path v-v attention + feature surgery + similarity map
+# ---------------------------------------------------------------------------
+
+def test_clip_surgery_matches_reference(xc):
+    """clip_surgery_map's pipeline (generate_emap.py:117-132) against the
+    CLIP_Surgery fork's own model + clip functions.  6 vision layers because
+    the fork rewires resblocks[-1..-6] in place (clip_surgery_model.py:
+    321-327); text features are supplied directly (the prompt-ensemble
+    encode is tokenizer+text-tower, parity-covered elsewhere)."""
+    ge = rl.load_generate_emap()
+    surgery_clip = ge.surgery_clip
+    import sys
+    smod = sys.modules["_ref_clip_pkg.CLIP_Surgery.clip.clip_surgery_model"]
+    torch.manual_seed(2)
+    tm = smod.CLIPSurgery(
+        embed_dim=16, image_resolution=32, vision_layers=6,
+        vision_width=64, vision_patch_size=8, context_length=12,
+        vocab_size=50, transformer_width=16, transformer_heads=2,
+        transformer_layers=2).eval().float()
+    from xai_tpu.methods import clip_surgery as CS
+    params = clip_from_torch(tm.state_dict(), vision_layers=6,
+                             text_layers=2)
+    cfg = clipmod.CLIPConfig(patch=8, vision_width=64, vision_layers=6,
+                             vision_heads=1, embed_dim=16, text_width=16,
+                             text_heads=2, text_layers=2, vocab_size=50,
+                             context_length=12, img_hw=32)
+    jm = clipmod.CLIP(cfg)
+    from xai_tpu.models.common import ModelBundle, ModelMeta
+    meta = ModelMeta(name="surgclip", family="clip", img_hw=32,
+                     num_patches=4, num_classes=10)
+    bundle = ModelBundle(
+        meta=meta, params=params,
+        apply=lambda p, x: jm.apply(
+            {"params": p}, x, method=clipmod.CLIP.encode_image)[:, 0],
+        extras={"cfg": cfg, "model": jm})
+
+    txt = np.random.RandomState(6).randn(3, 16).astype(np.float32)
+    txt = txt / np.linalg.norm(txt, axis=-1, keepdims=True)
+
+    timg = torch.from_numpy(xc.transpose(2, 0, 1))[None]
+    with torch.no_grad():
+        feats = tm.encode_image(timg)
+        feats = feats / feats.norm(dim=-1, keepdim=True)
+        sim = surgery_clip.clip_feature_surgery(feats,
+                                                torch.from_numpy(txt))
+        want = surgery_clip.get_similarity_map(sim[:, 1:, :],
+                                               (32, 32)).numpy()
+
+    got = np.asarray(CS.surgery_map(bundle, xc, txt))
+    assert got.shape == (32, 32)
+    assert np.abs(got - want[0, :, :, 0]).max() < 1e-4, \
+        np.abs(got - want[0, :, :, 0]).max()
