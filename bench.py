@@ -58,13 +58,33 @@ def bench_resnet_ig(extras):
     bundle = resnet.make_bundle("resnet50")
     imgs = jax.random.normal(jax.random.PRNGKey(0), (8, 224, 224, 3),
                              jnp.float32)
-    ig1 = lambda i: G.ig(bundle, imgs[i % 8], i % 1000, steps=50, chunk=50)
-    ig1(0).block_until_ready()                      # compile
+    targets = jnp.arange(8) % 1000
 
-    rate = _pipelined(ig1, 48)
-    blocked = _blocked(ig1, 16)
+    # headline: batch-4 sweeps in one dispatch (math identical to the
+    # per-image form; single-image dispatches leave pipeline bubbles the
+    # tunnel RTT can't fill)
+    B = 4
+    igb = lambda i: G.ig_batch(bundle, imgs[:B], targets[:B], steps=50,
+                               chunk=50)
+    igb(0).block_until_ready()                      # compile
+    rate = _pipelined(igb, 12) * B
+
+    ig1 = lambda i: G.ig(bundle, imgs[i % 8], i % 1000, steps=50, chunk=50)
+    ig1(0).block_until_ready()
+    extras.append({"metric": "resnet50_ig50_single_attr_per_sec",
+                   "value": round(_pipelined(ig1, 48), 3),
+                   "unit": "attr/s/chip"})
     extras.append({"metric": "resnet50_ig50_attr_per_sec_blocked",
-                   "value": round(blocked, 3), "unit": "attr/s/chip"})
+                   "value": round(_blocked(ig1, 16), 3),
+                   "unit": "attr/s/chip"})
+
+    # bf16 sweep (f32 Riemann mean + x-product): ~2x at batch 4 on v5e
+    igb16 = lambda i: G.ig_batch(bundle, imgs[:B], targets[:B], steps=50,
+                                 chunk=50, dtype=jnp.bfloat16)
+    igb16(0).block_until_ready()
+    extras.append({"metric": "resnet50_ig50_bf16_batch4_attr_per_sec",
+                   "value": round(_pipelined(igb16, 12) * B, 3),
+                   "unit": "attr/s/chip"})
     extras.append({"metric": "resnet50_ig50_mfu_f32",
                    "value": round(rate * IG50_FLOP / V5E_F32_PEAK, 4),
                    "unit": "fraction of 48 TFLOP/s"})

@@ -167,3 +167,16 @@ def test_smoothgrad_sweep_matches_per_sample_loop():
         got = np.asarray(G.smooth_grad(b, x, t, key, attribution,
                                        steps=steps, samples=samples))
         assert np.abs(got - want).max() < 1e-5, attribution
+
+
+def test_ig_batch_matches_per_image():
+    """ig_batch (one dispatch, vmapped sweeps) == per-image ig with zero
+    baseline, for every image in the batch."""
+    from xai_tpu.methods.gradient import ig, ig_batch
+    b = tiny_bundle(hw=32)
+    xb = jax.random.normal(jax.random.PRNGKey(4), (3, 32, 32, 3)) * 0.5
+    targets = [1, 4, 2]
+    batched = np.asarray(ig_batch(b, xb, targets, steps=8, chunk=4))
+    for i in range(3):
+        single = np.asarray(ig(b, xb[i], targets[i], steps=8, chunk=4))
+        assert np.abs(batched[i] - single).max() < 1e-5
