@@ -332,7 +332,7 @@ def idgi(bundle, x, target, steps: int = 50, baseline=0.0,
 def smooth_grad(bundle, x, target, key, attribution: str = "IG",
                 steps: int = 50, baseline=0.0, samples: int = 25,
                 sigma_spread: float = 0.15,
-                reference_quirk: bool = True) -> jnp.ndarray:
+                reference_quirk: bool = True, dtype=None) -> jnp.ndarray:
     """Gaussian-noise ensemble around IG/LIG/IDG; sigma = spread*(max-min).
 
     TPU path: IG and LIG fold the noise-sample axis into the interpolation
@@ -357,9 +357,21 @@ def smooth_grad(bundle, x, target, key, attribution: str = "IG",
         chunk = min(bundle.meta.batch_size, steps)
         while (samples * steps) % chunk:
             chunk -= 1
-        per_sample = _sg_sweep_jit(bundle.apply, bundle.params, x, noises,
-                                   bline, steps, samples, chunk, target,
-                                   alpha_star)
+        if dtype is not None:
+            # bf16 sweep (see ig_batch): grads return f32 via scores_sum's
+            # f32 cast; the noise/interp/mean math stays f32-exact enough
+            # because only the fwd+VJP runs low-precision
+            params = _cast_params_cached(bundle, dtype)
+            per_sample = _sg_sweep_jit(bundle.apply, params,
+                                       x.astype(dtype),
+                                       noises.astype(dtype),
+                                       bline.astype(dtype), steps, samples,
+                                       chunk, target, alpha_star)
+            per_sample = per_sample.astype(jnp.float32)
+        else:
+            per_sample = _sg_sweep_jit(bundle.apply, bundle.params, x,
+                                       noises, bline, steps, samples,
+                                       chunk, target, alpha_star)
         if reference_quirk:
             per_sample = jnp.broadcast_to(per_sample[..., 0:1],
                                           per_sample.shape)
@@ -389,7 +401,10 @@ def _sg_sweep_jit(apply_fn, params, x, noises, baseline, steps, samples,
         (samples * steps,) + x.shape)
     grads, logits = _grads_and_logits(apply_fn, params, images, target,
                                       chunk)
-    grads = grads.reshape((samples, steps) + x.shape)
+    # Riemann mean + x-product in f32 regardless of the sweep dtype
+    grads = grads.astype(jnp.float32).reshape((samples, steps) + x.shape)
+    logits = logits.astype(jnp.float32)
+    diff = diff.astype(jnp.float32)
     if alpha_star >= 1.0:
         mean_grads = grads.mean(axis=1)                 # [S, H, W, C]
     else:
