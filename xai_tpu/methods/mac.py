@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..metrics.curves import patch_flip_steps, reveal_curves, \
     monotone_normalize, density_response, mas_scores
 from ..native import felzenszwalb
-from ..ops.stats import auc
+from ..ops.stats import auc_np
 
 
 def _segment_reveal(bundle, x, sal2d, segments, mode, blur_fn, chunk=25):
@@ -121,7 +121,7 @@ def clean_attribution(bundle, trans_img, x, saliency_3c, iterations: int,
         norm = monotone_normalize(out.target_prob, out.original_pred,
                                   out.baseline_pred, mode)
         dens = density_response(sal2d, flip, H, mode)
-        score = float(auc(mas_scores(norm, dens, mode)))
+        score = auc_np(mas_scores(norm, dens, mode))
 
         if mode == "del":
             if score < best_score:

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..native import project_curve
-from ..ops.stats import spearman
+from ..ops.stats import spearman_np
 from .curves import (density_response, mas_scores, monotone_normalize,
                      patch_flip_steps, pixel_flip_steps, reveal_curves)
 
@@ -182,5 +182,5 @@ class MonotonicityMetric(_RevealMetric):
                                     max_batch_size, True)
         ideal = (np.linspace(0, 1, n_steps + 1) if self.mode == "positive"
                  else np.linspace(1, 0, n_steps + 1))
-        mono = float(spearman(ideal, out.target_prob))
+        mono = spearman_np(ideal, out.target_prob)
         return out.target_prob, mono

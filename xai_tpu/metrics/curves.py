@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.stats import auc, entropy_bits, spearman
+from ..ops.stats import auc_np, entropy_bits, spearman_np
 
 
 @dataclasses.dataclass
@@ -311,20 +311,20 @@ def run_battery(apply_fn, params, input_img, saliency, blur_fn,
     lerf_res = lerf.target_prob
 
     # --- Monotonicity (raw response vs ideal ramp; MonotonicityTest) ---
-    mono_pos = float(spearman(np.linspace(0, 1, n_steps + 1),
-                              ins.target_prob))
-    mono_neg = float(spearman(np.linspace(1, 0, n_steps + 1),
-                              dele.target_prob))
+    mono_pos = spearman_np(np.linspace(0, 1, n_steps + 1),
+                           ins.target_prob)
+    mono_neg = spearman_np(np.linspace(1, 0, n_steps + 1),
+                           dele.target_prob)
 
     return {
-        "MAS_ins": float(auc(mas_ins)),
-        "MAS_del": float(auc(mas_del)),
-        "RISE_ins": float(auc(rise_ins)),
-        "RISE_del": float(auc(rise_del)),
-        "AIC_ins": float(auc(aic_ins)),
-        "AIC_del": float(auc(aic_del)),
-        "LERF_res": float(auc(lerf_res)),
-        "MORF_res": float(auc(morf_res)),
+        "MAS_ins": auc_np(mas_ins),
+        "MAS_del": auc_np(mas_del),
+        "RISE_ins": auc_np(rise_ins),
+        "RISE_del": auc_np(rise_del),
+        "AIC_ins": auc_np(aic_ins),
+        "AIC_del": auc_np(aic_del),
+        "LERF_res": auc_np(lerf_res),
+        "MORF_res": auc_np(morf_res),
         "MONO_pos": mono_pos,
         "MONO_neg": mono_neg,
     }

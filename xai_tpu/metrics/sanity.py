@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 from scipy.ndimage import gaussian_filter
 
-from ..ops.stats import spearman
+from ..ops.stats import spearman_np
 
 
 def normalize_image(x: np.ndarray) -> np.ndarray:
@@ -102,10 +102,10 @@ def evaluate(normal_attr: np.ndarray, random_attr: np.ndarray,
     Inputs are [H, W, C] maps (or [H, W] with use_abs=True)."""
     n01 = normalize_image(normal_attr)
     r01 = normalize_image(random_attr)
-    spr_val = float(spearman(np.asarray(normal_attr).ravel(),
+    spr_val = float(spearman_np(np.asarray(normal_attr).ravel(),
                              np.asarray(random_attr).ravel()))
     ssim_val = ssim(n01, r01)
-    hog_val = float(spearman(hog(n01), hog(r01)))
+    hog_val = float(spearman_np(hog(n01), hog(r01)))
     return ssim_val, spr_val, hog_val
 
 
