@@ -29,7 +29,7 @@ def _segment_reveal(bundle, x, sal2d, segments, mode, blur_fn, chunk=25):
         start, finish = x, blur_fn(x[None])[0]
     else:
         start, finish = blur_fn(x[None])[0], x
-    target = int(jnp.argmax(bundle.apply(bundle.params, x[None])[0]))
+    target = int(jnp.argmax(bundle.logits_fn(bundle.params, x[None])[0]))
     out = reveal_curves(bundle.apply, bundle.params, start, finish, flip,
                         n_steps, target, chunk=chunk, original_img=x)
     return flip, out, n_steps
@@ -115,7 +115,7 @@ def clean_attribution(bundle, trans_img, x, saliency_3c, iterations: int,
             start, finish = xj, blur_fn(xj[None])[0]
         else:
             start, finish = blur_fn(xj[None])[0], xj
-        target = int(jnp.argmax(bundle.apply(bundle.params, xj[None])[0]))
+        target = int(jnp.argmax(bundle.logits_fn(bundle.params, xj[None])[0]))
         out = reveal_curves(bundle.apply, bundle.params, start, finish,
                             flip, H, target, chunk=chunk, original_img=xj)
         norm = monotone_normalize(out.target_prob, out.original_pred,

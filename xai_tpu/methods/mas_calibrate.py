@@ -94,8 +94,8 @@ def _prep(bundle, x, sal2d, mode, segments=None, segment_order=None,
     else:
         start, finish = blur_fn(jnp.asarray(x)[None])[0], jnp.asarray(x)
 
-    target = int(jnp.argmax(bundle.apply(bundle.params,
-                                         jnp.asarray(x)[None])[0]))
+    target = int(jnp.argmax(bundle.logits_fn(bundle.params,
+                                             jnp.asarray(x)[None])[0]))
     out = reveal_curves(bundle.apply, bundle.params, start, finish, flip,
                         n_steps, target, chunk=chunk,
                         original_img=jnp.asarray(x))

@@ -41,9 +41,10 @@ def _score_candidates(apply_fn, params, start, finish, seg_map, cand_ids,
     return jax.vmap(one)(cand_ids)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _probs1(apply_fn, params, x, target):
-    return jax.nn.softmax(apply_fn(params, x[None])[0])[target]
+def _probs1(bundle, x, target):
+    # one jitted dispatch (bundle.probs_fn is cached+jitted); eager softmax
+    # chains cost several device round-trips each
+    return bundle.probs_fn(bundle.params, jnp.asarray(x)[None])[0][target]
 
 
 def _segment_saliency(sal2d: np.ndarray, segments: np.ndarray,
@@ -126,10 +127,10 @@ def find_insertion_patches(bundle, x, prior_segmented, segments, blur_fn,
     segments = np.asarray(segments)
     n_steps = int(segments.max()) + 1
     if target is None:
-        target = int(jnp.argmax(bundle.apply(bundle.params, x[None])[0]))
-    original_pred = float(_probs1(bundle.apply, bundle.params, x, target))
+        target = int(jnp.argmax(bundle.logits_fn(bundle.params, x[None])[0]))
+    original_pred = float(_probs1(bundle, x, target))
     start = blur_fn(x[None])[0]
-    blur_pred = float(_probs1(bundle.apply, bundle.params, start, target))
+    blur_pred = float(_probs1(bundle, start, target))
 
     sal2d = np.abs(np.asarray(prior_segmented).sum(-1))
     seg_sal = _segment_saliency(sal2d, segments, n_steps)
@@ -173,10 +174,10 @@ def find_deletion_patches(bundle, x, segments, prior_segmented,
     segments = np.asarray(segments)
     n_steps = int(segments.max()) + 1
     if target is None:
-        target = int(jnp.argmax(bundle.apply(bundle.params, x[None])[0]))
-    original_pred = float(_probs1(bundle.apply, bundle.params, x, target))
+        target = int(jnp.argmax(bundle.logits_fn(bundle.params, x[None])[0]))
+    original_pred = float(_probs1(bundle, x, target))
     start = jnp.zeros_like(x)
-    black_pred = float(_probs1(bundle.apply, bundle.params, start, target))
+    black_pred = float(_probs1(bundle, start, target))
 
     sal2d = np.abs(np.asarray(prior_segmented).sum(-1))
     seg_sal = _segment_saliency(sal2d, segments, n_steps)
@@ -196,7 +197,7 @@ def find_deletion_patches(bundle, x, segments, prior_segmented,
     for s in tail:
         cur = jnp.where((seg_dev == s)[..., None], x, cur)
         tail_responses.append(
-            float(_probs1(bundle.apply, bundle.params, cur, target)))
+            float(_probs1(bundle, cur, target)))
 
     worst_segments = picked + tail
     worst_mr = responses + tail_responses

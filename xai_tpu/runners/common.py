@@ -146,15 +146,19 @@ def image_gates(bundle, x, blur_fn):
     (evaluatePerturbation.py:561-570): predictions for the original, blurred
     and black images; the image is usable iff blur/black confidences are
     lower and classes differ."""
-    probs = jax.nn.softmax(bundle.apply(bundle.params, x[None])[0])
-    target = int(jnp.argmax(probs))
+    import numpy as _np
+    # three jitted dispatches via the bundle's cached probs_fn (eager
+    # softmax chains here used to cost ~10 round-trips per image)
+    probs = _np.asarray(bundle.probs_fn(bundle.params, x[None])[0])
+    target = int(probs.argmax())
     original_pred = float(probs[target])
-    bl = jax.nn.softmax(bundle.apply(bundle.params, blur_fn(x[None]))[0])
-    blur_class, blur_pred = int(jnp.argmax(bl)), float(bl[target])
+    bl = _np.asarray(bundle.probs_fn(bundle.params, blur_fn(x[None]))[0])
+    blur_class = int(bl.argmax())
     blur_own = float(bl[blur_class])
-    bk = jax.nn.softmax(
-        bundle.apply(bundle.params, jnp.zeros_like(x)[None])[0])
-    black_class, black_own = int(jnp.argmax(bk)), float(bk[int(jnp.argmax(bk))])
+    bk = _np.asarray(bundle.probs_fn(bundle.params,
+                                     jnp.zeros_like(x)[None])[0])
+    black_class = int(bk.argmax())
+    black_own = float(bk[black_class])
     ok = not (blur_own >= original_pred or black_own >= original_pred
               or target == black_class or target == blur_class)
     return target, original_pred, ok
