@@ -96,8 +96,9 @@ def compute_pic_metric(bundle, img, saliency_map, random_mask,
         x = jnp.asarray(arr, jnp.float32)
         if normalize_fn is not None:
             x = normalize_fn(x)
-        probs = jax.nn.softmax(bundle.apply(bundle.params, x[None])[0])
-        cls = int(jnp.argmax(probs))
+        # one jitted dispatch via the bundle's cached probs_fn
+        probs = np.asarray(bundle.probs_fn(bundle.params, x[None])[0])
+        cls = int(probs.argmax())
         if target < 0:
             return float(probs[cls]), cls
         if mth == 0:
@@ -156,12 +157,12 @@ def compute_both_metrics(bundle, img, saliency_map, random_mask,
     saliency_thresholds = saliency_thresholds or DEFAULT_THRESHOLDS
 
     def predict(arr):
-        """-> (softmax of target / of argmax if target<0, top1 class)."""
+        """-> (softmax probs, top1 class) in one jitted dispatch."""
         x = jnp.asarray(arr, jnp.float32)
         if normalize_fn is not None:
             x = normalize_fn(x)
-        probs = jax.nn.softmax(bundle.apply(bundle.params, x[None])[0])
-        return np.asarray(probs), int(jnp.argmax(probs))
+        probs = np.asarray(bundle.probs_fn(bundle.params, x[None])[0])
+        return probs, int(probs.argmax())
 
     orig_entropy = estimate_image_entropy((img * 255).astype(np.uint8))
     fully_blurred = create_blurred_image(img, random_mask)
