@@ -178,3 +178,18 @@ def write_result_csv(folder: str, file_name: str, counters: dict,
 
 def default_blur():
     return jax.jit(make_blur_fn(31, 31.0))
+
+
+def enable_compilation_cache(path: str = "~/.cache/xai_tpu_jax"):
+    """Opt into JAX's persistent compilation cache.  Driver startup is
+    compile-dominated (each distinct jit signature is a fresh XLA compile;
+    a cold flagship run spends minutes there) — on TPU VMs the cache makes
+    repeat runs start in seconds.  A no-op on backends whose PJRT plugin
+    can't serialize executables (the remote-tunnel dev backend)."""
+    import os
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:                                  # pragma: no cover
+        pass

@@ -98,6 +98,8 @@ def build_parser():
 
 def main(argv=None):
     args, _ = build_parser().parse_known_args(argv)
+    from .common import enable_compilation_cache
+    enable_compilation_cache()
     print({k: round(v, 4) for k, v in evaluate_imagenet_seg(args).items()})
 
 

@@ -180,6 +180,8 @@ def build_parser():
 
 def main(argv=None):
     args, _ = build_parser().parse_known_args(argv)
+    from .common import enable_compilation_cache
+    enable_compilation_cache()
     if getattr(args, "profile_dir", ""):
         import jax
         with jax.profiler.trace(args.profile_dir):

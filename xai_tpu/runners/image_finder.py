@@ -82,6 +82,8 @@ def build_parser():
 
 def main(argv=None):
     args, _ = build_parser().parse_known_args(argv)
+    from .common import enable_compilation_cache
+    enable_compilation_cache()
     find_correctly_classified(args)
 
 

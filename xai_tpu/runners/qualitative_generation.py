@@ -97,6 +97,8 @@ def build_parser():
 
 def main(argv=None):
     args, _ = build_parser().parse_known_args(argv)
+    from .common import enable_compilation_cache
+    enable_compilation_cache()
     generate(args)
 
 
