@@ -143,21 +143,43 @@ def _cls_patch_grid(row, tokens: int):
 
 def raw_attn(bundle, x, layer: int = -1):
     """generate_raw_attn (:140-145): last-block head-mean CLS row."""
-    _, taps = _taps(bundle, x)
+    return _raw_attn_jit(bundle.apply_taps, layer, bundle.params, _4d(x))
+
+
+def _4d(x):
+    x = jnp.asarray(x)
+    return x[None] if x.ndim == 3 else x
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _raw_attn_jit(apply_taps, layer, params, x):
+    _, taps = apply_taps(params, x)
     attn = taps["attn"][layer].mean(axis=1)[0, 0]
     return _cls_patch_grid(attn, attn.shape[-1])
 
 
 def attn_grad(bundle, x, target, layer: int = -1):
     """generate_grad (:147-158): head-mean attn gradient CLS row, clamp 0."""
-    _, grads = collect(bundle, x, target)
+    return _attn_grad_jit(bundle.apply_probed, bundle.extras, layer,
+                          bundle.params, _4d(x), target)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _attn_grad_jit(apply_probed, cfg, layer, params, x, target):
+    _, grads = _collect(apply_probed, cfg, params, x, target)
     g = grads[layer].mean(axis=1)[0, 0]
     return jnp.clip(_cls_patch_grid(g, g.shape[-1]), 0)
 
 
 def cam_attn(bundle, x, target, layer: int = -1):
     """generate_cam_attn (:161-178): Grad-CAM on last-block attention."""
-    taps, grads = collect(bundle, x, target)
+    return _cam_attn_jit(bundle.apply_probed, bundle.extras, layer,
+                         bundle.params, _4d(x), target)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _cam_attn_jit(apply_probed, cfg, layer, params, x, target):
+    taps, grads = _collect(apply_probed, cfg, params, x, target)
     cam = taps["attn"][layer][0, :, 0, 1:]          # [H, P*P]
     g = grads[layer][0, :, 0, 1:]
     m = jnp.clip((cam * g).mean(axis=0), 0)
@@ -168,23 +190,33 @@ def cam_attn(bundle, x, target, layer: int = -1):
 
 def naive_rollout(bundle, x, start_layer: int = 0):
     """generate_naive_rollout (:180-193)."""
-    _, taps = _taps(bundle, x)
-    mats = taps["attn"].mean(axis=2)                # [L, B, N, N]
-    ro = rollout_naive(mats, start_layer)[0, 0]
-    return _cls_patch_grid(ro, ro.shape[-1])
+    return _rollout_jit(bundle.apply_taps, start_layer, False,
+                        bundle.params, _4d(x))
 
 
 def rollout(bundle, x, start_layer: int = 0):
     """generate_rollout (:195-239, InFlow=False)."""
-    _, taps = _taps(bundle, x)
-    mats = taps["attn"].mean(axis=2)
-    ro = rollout_residual(mats, start_layer)[0, 0]
+    return _rollout_jit(bundle.apply_taps, start_layer, True,
+                        bundle.params, _4d(x))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _rollout_jit(apply_taps, start_layer, residual, params, x):
+    _, taps = apply_taps(params, x)
+    mats = taps["attn"].mean(axis=2)                # [L, B, N, N]
+    ro = (rollout_residual if residual else rollout_naive)(
+        mats, start_layer)[0, 0]
     return _cls_patch_grid(ro, ro.shape[-1])
 
 
 def inflow_rollout(bundle, x):
     """generate_rollout(InFlow=True): RAVE with plain head-mean attention."""
-    _, taps = _taps(bundle, x)
+    return _inflow_rollout_jit(bundle.apply_taps, bundle.params, _4d(x))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _inflow_rollout_jit(apply_taps, params, x):
+    _, taps = apply_taps(params, x)
     mats = taps["attn"].mean(axis=2)
     b1, b2 = _resid_biases(taps)
     aug = rave_matrices(mats, b1, b2)
@@ -196,7 +228,14 @@ def transition_attention(bundle, x, target, start_layer: int = 0,
                          steps: int = 20):
     """generate_transition_attention_maps (:307-356).  Returns the `final`
     (states * W_state) map the driver uses (evaluatePerturbation.py:223)."""
-    taps, _ = collect(bundle, x, target)
+    return _transition_jit(bundle.apply_probed, bundle.extras, start_layer,
+                           steps, bundle.params, _4d(x), target)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _transition_jit(apply_probed, cfg, start_layer, steps, params, x,
+                    target):
+    taps, _ = _collect(apply_probed, cfg, params, x, target)
     attn_mean = taps["attn"].mean(axis=2)           # [L, B, N, N]
     L, B, N, _ = attn_mean.shape
 
@@ -207,9 +246,7 @@ def transition_attention(bundle, x, target, start_layer: int = 0,
         states = (jnp.einsum("biw,bwh->h", states, a).reshape(B, 1, N)
                   + states)
 
-    total = _attn_ig_grads(bundle.apply_probed, bundle.extras, bundle.params,
-                           jnp.asarray(x)[None] if jnp.asarray(x).ndim == 3
-                           else x, target, steps)
+    total = _attn_ig_grads(apply_probed, cfg, params, x, target, steps)
     w_state = jnp.clip(total / steps, 0).mean(axis=1)[:, 0, :].reshape(B, 1, N)
     final = states * w_state
     return _cls_patch_grid(final[0, 0], N)
@@ -217,9 +254,13 @@ def transition_attention(bundle, x, target, start_layer: int = 0,
 
 def attn_ig(bundle, x, target, steps: int = 20):
     """Baselines.IG (:358-386): IG of last-block attention grads alone."""
-    xb = jnp.asarray(x)[None] if jnp.asarray(x).ndim == 3 else jnp.asarray(x)
-    total = _attn_ig_grads(bundle.apply_probed, bundle.extras, bundle.params,
-                           xb, target, steps)
+    return _attn_ig_jit(bundle.apply_probed, bundle.extras, steps,
+                        bundle.params, _4d(x), target)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _attn_ig_jit(apply_probed, cfg, steps, params, x, target):
+    total = _attn_ig_grads(apply_probed, cfg, params, x, target, steps)
     w = jnp.clip(total / steps, 0).mean(axis=1)[0, 0]
     return _cls_patch_grid(w, w.shape[-1])
 
@@ -227,7 +268,13 @@ def attn_ig(bundle, x, target, steps: int = 20):
 def attn_attr(bundle, x, target, start_layer: int = 0):
     """attn_attr (:390-416): residual-free rollout of blocks < L-1 weighted
     by last-block positive attention grads."""
-    taps, grads = collect(bundle, x, target)
+    return _attn_attr_jit(bundle.apply_probed, bundle.extras, start_layer,
+                          bundle.params, _4d(x), target)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _attn_attr_jit(apply_probed, cfg, start_layer, params, x, target):
+    taps, grads = _collect(apply_probed, cfg, params, x, target)
     attn_mean = taps["attn"].mean(axis=2)
     L, B, N, _ = attn_mean.shape
     states = attn_mean[-1][:, 0, :].reshape(B, 1, N)
@@ -261,8 +308,14 @@ def bidirectional(bundle, x, target, steps: int = 20, start_layer: int = 4):
     """bidirectional / bi_attn (:419-505): head-importance rollout
     R = I + sum cam@R over blocks >= start_layer-1, times 20-step IG of
     last-block attention grads."""
-    xb = jnp.asarray(x)[None] if jnp.asarray(x).ndim == 3 else jnp.asarray(x)
-    taps, grads = collect(bundle, xb, target)
+    return _bidirectional_jit(bundle.apply_probed, bundle.extras, steps,
+                              start_layer, bundle.params, _4d(x), target)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _bidirectional_jit(apply_probed, cfg, steps, start_layer, params, x,
+                       target):
+    taps, grads = _collect(apply_probed, cfg, params, x, target)
     L, B, H, N, _ = taps["attn"].shape
     cams = _head_weighted_cams(taps, grads, start_layer)
     R = jnp.eye(N)[None]
@@ -271,8 +324,7 @@ def bidirectional(bundle, x, target, steps: int = 20, start_layer: int = 4):
             continue
         R = R + jnp.einsum("nm,bmk->bnk", cam, R)
 
-    total = _attn_ig_grads(bundle.apply_probed, bundle.extras, bundle.params,
-                           xb, target, steps)
+    total = _attn_ig_grads(apply_probed, cfg, params, x, target, steps)
     w = jnp.clip(total / steps, 0).mean(axis=1).reshape(B, N, N)
     attr = w * R
     return _cls_patch_grid(attr[0, 0], N)
@@ -284,15 +336,20 @@ def rave(bundle, x, target, withgrad: bool = True, ablate: int = 0,
     attention, optionally weighted by the bottom-up gradient (gradient of the
     block's own classification probs w.r.t. its attention), RAVE residual
     rollout."""
-    xb = jnp.asarray(x)[None] if jnp.asarray(x).ndim == 3 else jnp.asarray(x)
-    taps, grads = collect(bundle, xb, target)
+    return _rave_jit(bundle.apply_probed, bundle.extras, withgrad, ablate,
+                     stop_layer, bundle.params, _4d(x), target)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _rave_jit(apply_probed, cfg, withgrad, ablate, stop_layer, params, x,
+              target):
+    taps, grads = _collect(apply_probed, cfg, params, x, target)
     attn = taps["attn"]                              # [L, B, H, N, N]
     L, B, H, N, _ = attn.shape
     n_used = min(stop_layer + 1, L)
 
     if withgrad:
-        bu = _bottom_up_attn_grads(bundle.apply_probed, bundle.extras,
-                                   bundle.params, xb, target)
+        bu = _bottom_up_attn_grads(apply_probed, cfg, params, x, target)
 
     layer_maps = []
     for i in range(n_used):
