@@ -110,13 +110,21 @@ def grad_eclip(bundle, x, txt_emb, withksim: bool = True,
     """Grad-ECLIP (generate_emap.py:453-486): for each caption cosine c,
     relu(sum_D grad_c(att_output)[CLS] * v[patches] * minmax(cos(q_cls,
     k_patch)))); summed over captions.  Returns [P, P]."""
-    d = encode_dense(bundle, x)
-    cfg = bundle.extras["cfg"]
-    blk = bundle.params["visual"][f"block{cfg.vision_layers - 1}"]
-    vp = bundle.params["visual"]
+    x = jnp.asarray(x)
+    if x.ndim == 3:
+        x = x[None]
     txt_emb = jnp.asarray(txt_emb)
     if txt_emb.ndim == 1:
         txt_emb = txt_emb[None]
+    return _grad_eclip_jit(bundle.extras["model"], bundle.extras["cfg"],
+                           withksim, withgrad, bundle.params, x, txt_emb)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _grad_eclip_jit(model, cfg, withksim, withgrad, params, x, txt_emb):
+    d = _encode_dense_jit(model, cfg, params, x)
+    blk = params["visual"][f"block{cfg.vision_layers - 1}"]
+    vp = params["visual"]
 
     if withksim:
         q_cls = d.q_out[0, 0]
@@ -141,16 +149,25 @@ def grad_eclip(bundle, x, txt_emb, withksim: bool = True,
         else:
             emap = jax.nn.relu((d.v[0, 1:] * cos_qk[:, None]).sum(-1))
         total = total + emap
-    return total.reshape(d.map_size)
+    return total.reshape(cfg.grid, cfg.grid)
 
 
 def mask_clip(bundle, x, txt_emb) -> jnp.ndarray:
     """MaskCLIP (generate_emap.py:500-530): cosine(v_final, text) modulated
     by k-cls/k-patch similarity; summed over captions.  Returns [P, P]."""
-    d = encode_dense(bundle, x)
+    x = jnp.asarray(x)
+    if x.ndim == 3:
+        x = x[None]
     txt = jnp.asarray(txt_emb)
     if txt.ndim == 1:
         txt = txt[None]
+    return _mask_clip_jit(bundle.extras["model"], bundle.extras["cfg"],
+                          bundle.params, x, txt)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _mask_clip_jit(model, cfg, params, x, txt):
+    d = _encode_dense_jit(model, cfg, params, x)
     vf = d.v_final / jnp.linalg.norm(d.v_final, axis=-1, keepdims=True)
     cos_v = (vf[0] @ txt.T).T                        # [T, N-1]
     k_cls = d.k_out[0, 0] / jnp.linalg.norm(d.k_out[0, 0])
@@ -158,25 +175,42 @@ def mask_clip(bundle, x, txt_emb) -> jnp.ndarray:
     k_patch = k_patch / jnp.linalg.norm(k_patch, axis=-1, keepdims=True)
     cos_k = k_patch @ k_cls
     sim = cos_v * cos_k[None]
-    return sim.sum(0).reshape(d.map_size)
+    return sim.sum(0).reshape(cfg.grid, cfg.grid)
 
 
 def self_attn(bundle, x) -> jnp.ndarray:
     """selfattn (evaluatePerturbation.py:423-424): the dense 1-head
     attention CLS row."""
-    d = encode_dense(bundle, x)
-    return d.attn[0, 0, 1:].reshape(d.map_size)
+    x = jnp.asarray(x)
+    if x.ndim == 3:
+        x = x[None]
+    return _self_attn_jit(bundle.extras["model"], bundle.extras["cfg"],
+                          bundle.params, x)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _self_attn_jit(model, cfg, params, x):
+    d = _encode_dense_jit(model, cfg, params, x)
+    return d.attn[0, 0, 1:].reshape(cfg.grid, cfg.grid)
 
 
 def clip_grad_cam(bundle, x, txt_emb) -> jnp.ndarray:
     """Grad-CAM on the last-block input features (generate_emap.py:488-499)."""
-    d = encode_dense(bundle, x)
-    cfg = bundle.extras["cfg"]
-    blk = bundle.params["visual"][f"block{cfg.vision_layers - 1}"]
-    vp = bundle.params["visual"]
+    x = jnp.asarray(x)
+    if x.ndim == 3:
+        x = x[None]
     txt = jnp.asarray(txt_emb)
     if txt.ndim == 1:
         txt = txt[None]
+    return _clip_grad_cam_jit(bundle.extras["model"], bundle.extras["cfg"],
+                              bundle.params, x, txt)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _clip_grad_cam_jit(model, cfg, params, x, txt):
+    d = _encode_dense_jit(model, cfg, params, x)
+    blk = params["visual"][f"block{cfg.vision_layers - 1}"]
+    vp = params["visual"]
 
     def c_of(x_in):
         h = _ln(x_in, blk["ln_1"])
@@ -194,7 +228,7 @@ def clip_grad_cam(bundle, x, txt_emb) -> jnp.ndarray:
     grad = jax.grad(c_of)(d.x_in)[0]                 # [N, W]
     w = grad.mean(0, keepdims=True)
     cam = jax.nn.relu((w * d.x_in[0, 1:]).sum(-1))
-    return cam.reshape(d.map_size)
+    return cam.reshape(cfg.grid, cfg.grid)
 
 
 # ---------------------------------------------------------------------------
