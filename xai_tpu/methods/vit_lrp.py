@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models import vit as vitmod
-from .vit_explain import collect, rollout_residual, _cls_patch_grid
+from .vit_explain import _collect as _ve_collect
+from .vit_explain import rollout_residual, _cls_patch_grid
 
 
 def _safe_divide(a, b):
@@ -159,8 +160,13 @@ def lrp_rollout(bundle, x, target, start_layer: int = 0):
     xb = jnp.asarray(x)
     if xb.ndim == 3:
         xb = xb[None]
-    cams = _attn_cams(bundle.apply_probed, bundle.extras, bundle.params, xb,
-                      target)
+    return _lrp_rollout_jit(bundle.apply_probed, bundle.extras, start_layer,
+                            bundle.params, xb, target)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _lrp_rollout_jit(apply_probed, cfg, start_layer, params, xb, target):
+    cams = _attn_cams(apply_probed, cfg, params, xb, target)
     mats = jnp.clip(cams, 0).mean(axis=2)
     ro = rollout_residual(mats, start_layer)[0, 0]
     return _cls_patch_grid(ro, ro.shape[-1])
@@ -174,11 +180,17 @@ def lrp_layer(bundle, x, target, layer: int = -1,
     xb = jnp.asarray(x)
     if xb.ndim == 3:
         xb = xb[None]
-    cams = _attn_cams(bundle.apply_probed, bundle.extras, bundle.params, xb,
-                      target)
+    return _lrp_layer_jit(bundle.apply_probed, bundle.extras, layer,
+                          is_ablation, bundle.params, xb, target)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _lrp_layer_jit(apply_probed, cfg, layer, is_ablation, params, xb,
+                   target):
+    cams = _attn_cams(apply_probed, cfg, params, xb, target)
     cam = cams[layer][0]
     if is_ablation:
-        _, grads = collect(bundle, xb, target)
+        _, grads = _ve_collect(apply_probed, cfg, params, xb, target)
         cam = grads[layer][0] * cam
     cam = jnp.clip(cam, 0).mean(axis=0)
     return _cls_patch_grid(cam[0], cam.shape[-1])
@@ -215,16 +227,22 @@ def lrp_full(bundle, x, target):
     if xb.ndim == 3:
         xb = xb[None]
     cfg = bundle.extras
-    _, bottom, taps = _attn_cams_and_bottom(bundle.apply_probed, cfg,
-                                            bundle.params, xb, target)
-    pos = bundle.params["pos_embed"]
+    return _lrp_full_jit(bundle.apply_probed, cfg, bundle.params, xb,
+                         target)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _lrp_full_jit(apply_probed, cfg, params, xb, target):
+    _, bottom, taps = _attn_cams_and_bottom(apply_probed, cfg,
+                                            params, xb, target)
+    pos = params["pos_embed"]
     x0 = taps["patch_embedding"] - pos               # tokens pre-pos-add
     cam_x, _ = _add_rp(bottom, x0, jnp.broadcast_to(pos, x0.shape))
     cam_patches = cam_x[:, 1:]                       # drop CLS
     P = cfg.grid
     R_tokens = cam_patches.reshape(xb.shape[0], P, P, cfg.embed_dim)
     R_img = _conv_zb_rp(R_tokens, xb,
-                        bundle.params["patch_embed"]["kernel"], cfg.patch)
+                        params["patch_embed"]["kernel"], cfg.patch)
     return R_img[0].sum(-1)
 
 
@@ -236,9 +254,14 @@ def transformer_attribution(bundle, x, target, start_layer: int = 0):
     xb = jnp.asarray(x)
     if xb.ndim == 3:
         xb = xb[None]
-    cfg = bundle.extras
-    cams = _attn_cams(bundle.apply_probed, cfg, bundle.params, xb, target)
-    _, grads = collect(bundle, xb, target)
+    return _t_attr_jit(bundle.apply_probed, bundle.extras, start_layer,
+                       bundle.params, xb, target)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _t_attr_jit(apply_probed, cfg, start_layer, params, xb, target):
+    cams = _attn_cams(apply_probed, cfg, params, xb, target)
+    _, grads = _ve_collect(apply_probed, cfg, params, xb, target)
     weighted = jnp.clip(grads * cams, 0).mean(axis=2)   # [L, B, N, N]
     ro = rollout_residual(weighted, start_layer)[0, 0]
     return _cls_patch_grid(ro, ro.shape[-1])
