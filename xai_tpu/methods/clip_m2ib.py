@@ -10,6 +10,8 @@ minmax-normalized (iba.py:89-196, methods.py:46-70).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -56,43 +58,50 @@ def vision_heatmap_iba(bundle, x, txt_emb, vlayer: int = 9,
     if txt.ndim == 1:
         txt = txt[None]
 
-    h = _visual_prefix(model, cfg, bundle.params, x, vlayer + 1)  # [1,N,W]
-    alpha = jnp.full((1,) + h.shape[1:], 5.0)
+    up = np.asarray(_iba_jit(model, cfg, vlayer, steps, batch_size, beta,
+                             lr, x.shape[1], bundle.params, x, txt, key))
+    return (up - up.min()) / (up.max() - up.min())
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _iba_jit(model, cfg, vlayer, steps, batch_size, beta, lr, hw, params,
+             x, txt, key):
+    """The whole IBA optimization as one dispatch: prefix encode, a
+    lax.scan of `steps` Adam updates on the bottleneck, saliency from the
+    final capacity.  The previous form re-traced a closure-jitted step on
+    EVERY image (and ran 10 separate dispatches per image)."""
+    h = _visual_prefix(model, cfg, params, x, vlayer + 1)         # [1,N,W]
+    alpha0 = jnp.full((1,) + h.shape[1:], 5.0)
     opt = optax.adam(lr)
-    opt_state = opt.init(alpha)
 
     def capacity(lam):
         mu = h * lam
         var = (1 - lam) ** 2
         return -0.5 * (1 + jnp.log(var) - mu ** 2 - var)
 
-    @jax.jit
-    def step(alpha, opt_state, k):
-        def loss_fn(a):
-            lam = jax.nn.sigmoid(a)
-            cap = capacity(lam)
-            eps = jax.random.normal(k, (batch_size,) + h.shape[1:])
-            t = h * lam + (1 - lam) * eps
-            emb = _visual_suffix(cfg, bundle.params, t, vlayer + 1)
-            emb_n = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
-            txt_n = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
-            fitting = (emb_n * txt_n).sum(-1).mean()
-            return beta * cap.mean() - fitting
+    def loss_fn(a, k):
+        lam = jax.nn.sigmoid(a)
+        cap = capacity(lam)
+        eps = jax.random.normal(k, (batch_size,) + h.shape[1:])
+        t = h * lam + (1 - lam) * eps
+        emb = _visual_suffix(cfg, params, t, vlayer + 1)
+        emb_n = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        txt_n = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        fitting = (emb_n * txt_n).sum(-1).mean()
+        return beta * cap.mean() - fitting
 
-        loss, g = jax.value_and_grad(loss_fn)(alpha)
+    def step(carry, k):
+        alpha, opt_state = carry
+        g = jax.grad(loss_fn)(alpha, k)
         updates, opt_state = opt.update(g, opt_state)
-        return optax.apply_updates(alpha, updates), opt_state, loss
+        return (optax.apply_updates(alpha, updates), opt_state), None
 
-    for i in range(steps):
-        key, k = jax.random.split(key)
-        alpha, opt_state, _ = step(alpha, opt_state, k)
+    keys = jax.random.split(key, steps)
+    (alpha, _), _ = jax.lax.scan(step, (alpha0, opt.init(alpha0)), keys)
 
     lam = jax.nn.sigmoid(alpha)
     cap = capacity(lam)[0]                         # [N, W]
     sal = jnp.nan_to_num(cap).sum(-1)[1:]          # drop CLS
     p = cfg.grid
     sal = sal.reshape(1, p, p)
-    up = jax.image.resize(sal, (1, x.shape[1], x.shape[1]),
-                          method="linear")[0]
-    up = np.asarray(up)
-    return (up - up.min()) / (up.max() - up.min())
+    return jax.image.resize(sal, (1, hw, hw), method="linear")[0]

@@ -131,10 +131,15 @@ def surgery_map(bundle, x, text_features) -> np.ndarray:
     x = jnp.asarray(x)
     if x.ndim == 3:
         x = x[None]
-    cfg = bundle.extras["cfg"]
-    feats = _surgery_encode(bundle.extras["model"], cfg, bundle.params, x)
+    return np.asarray(_surgery_map_jit(
+        bundle.extras["model"], bundle.extras["cfg"], bundle.params, x,
+        jnp.asarray(text_features)))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _surgery_map_jit(model, cfg, params, x, text_features):
+    feats = _surgery_encode(model, cfg, params, x)
     feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-    text_features = jnp.asarray(text_features)
     sim = clip_feature_surgery(feats, text_features)
     smap = get_similarity_map(sim[:, 1:, :], x.shape[1])
-    return np.asarray(smap[0, :, :, 0])
+    return smap[0, :, :, 0]
