@@ -2,11 +2,16 @@
 PAIR-code/saliency).
 
 The adaptive path search (guided_ig_impl, GIGBuilder.py:194-291) has a
-data-dependent inner ``while gamma > 1.0`` loop.  Strategy (SURVEY §7 "hard
-parts"): host control flow for the inner loop (pure elementwise numpy on a
-150k-element image — microseconds), device for every gradient call (the only
-expensive part, one fwd+bwd per outer step).  The gradient is of the
-*softmax* output (call_model_function, GIGBuilder.py:296-310).
+data-dependent inner ``while gamma > 1.0`` loop.  Round-1 strategy ran the
+inner loop on host with one device gradient per outer step — ~130 dispatches
+per attribution, which the device-link round-trip time bounds at ~0.3
+attr/s.  It is now ONE dispatch: a ``lax.scan`` over the 50 outer steps,
+each with the softmax gradient and a bounded ``lax.while_loop`` for the
+inner search; all the masking/quantile/L1 logic is elementwise jnp.  The
+torch 'lower'-interpolation quantile is a sort + floor-index lookup
+(static size), and the reference's accumulating ``grad[xc == x_max] = inf``
+is equivalent to recomputing the mask each iteration because entries never
+leave x_max once placed there.
 """
 from __future__ import annotations
 
@@ -20,76 +25,86 @@ import numpy as np
 EPSILON = 1e-9
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _softmax_grad(apply_fn, params, x, target):
-    def score(xi):
-        return jax.nn.softmax(apply_fn(params, xi[None])[0])[target]
-    return jax.grad(score)(x)
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _gig_device(apply_fn, params, x_input, steps, fraction, max_dist,
+                x_baseline, target):
+    """Full guided-IG path search on device.  Returns [H, W, C] attr."""
+    n = x_input.size
+    q_idx = int(math.floor(fraction * (n - 1)))
+    diff = x_input - x_baseline
+    l1_total = jnp.abs(diff).sum()
 
+    def softmax_grad(xc):
+        def score(xi):
+            return jax.nn.softmax(apply_fn(params, xi[None])[0])[target]
+        return jax.grad(score)(xc)
 
-def _quantile_lower(a: np.ndarray, q: float) -> float:
-    """torch.quantile(..., interpolation='lower') on a flat array."""
-    flat = np.sort(a.reshape(-1))
-    idx = int(math.floor(q * (flat.size - 1)))
-    return float(flat[idx])
+    def outer(carry, step):
+        xc, attr = carry
+        grad_actual = softmax_grad(xc)
+        alpha = (step + 1.0) / steps
+        alpha_min = jnp.maximum(alpha - max_dist, 0.0)
+        alpha_max = jnp.minimum(alpha + max_dist, 1.0)
+        x_min = x_baseline + diff * alpha_min
+        x_max = x_baseline + diff * alpha_max
+        l1_target = l1_total * (1 - (step + 1.0) / steps)
+
+        def cond(st):
+            _, _, gamma, done, it = st
+            return (gamma > 1.0) & jnp.logical_not(done) & (it < 4096)
+
+        def body(st):
+            xc, attr, _, _, it = st
+            x_old = xc
+            ratio = jnp.where(diff != 0, (xc - x_baseline) /
+                              jnp.where(diff != 0, diff, 1.0), alpha_max)
+            xc1 = jnp.where(ratio < alpha_min, x_min, xc)
+
+            l1_current = jnp.abs(xc1 - x_input).sum()
+            close = jnp.abs(l1_target - l1_current) <= jnp.maximum(
+                EPSILON * jnp.maximum(jnp.abs(l1_target),
+                                      jnp.abs(l1_current)), EPSILON)
+
+            grad_iter = jnp.where(xc1 == x_max, jnp.inf, grad_actual)
+            a = jnp.abs(grad_iter)
+            thr = jnp.sort(a.reshape(-1))[q_idx]
+            s = (a <= thr) & (grad_iter != jnp.inf)
+
+            l1_s = (jnp.abs(xc1 - x_max) * s).sum()
+            gamma = jnp.where(l1_s > 0,
+                              (l1_current - l1_target) / l1_s, jnp.inf)
+            moved = jnp.where(
+                s, jnp.where(gamma > 1.0, x_max,
+                             xc1 + (x_max - xc1) * gamma), xc1)
+            new_xc = jnp.where(close, xc1, moved)
+            new_attr = attr + (new_xc - x_old) * grad_actual
+            # l1_s == 0 means no selectable feature can move: the iteration
+            # is a no-op and the reference's `while` would spin forever
+            # (it only escapes on host via floating-point luck in isclose).
+            # Exit explicitly; plus a hard cap as a trace-safe backstop.
+            stuck = jnp.logical_not(close) & (l1_s <= 0)
+            return (new_xc, new_attr,
+                    jnp.where(close, 0.0, gamma), close | stuck, it + 1)
+
+        xc, attr, _, _, _ = jax.lax.while_loop(
+            cond, body, (xc, attr, jnp.inf, False, 0))
+        return (xc, attr), None
+
+    init = (x_baseline, jnp.zeros_like(x_input))
+    (xc, attr), _ = jax.lax.scan(outer, init,
+                                 jnp.arange(steps, dtype=jnp.float32))
+    return attr
 
 
 def guided_ig(bundle, x, target, steps: int = 50, fraction: float = 0.5,
               max_dist: float = 1.0, baseline=None) -> np.ndarray:
     """GuidedIG.GetMask with the driver's config x_steps=50, max_dist=1.0,
     fraction=0.5 (evaluatePerturbation.py:114-118). Returns [H, W, C]."""
-    x_input = np.asarray(x, dtype=np.float32)
-    x_baseline = (np.zeros_like(x_input) if baseline is None
-                  else np.asarray(baseline, dtype=np.float32))
-    xc = x_baseline.copy()
-    l1_total = np.abs(x_input - x_baseline).sum()
-    attr = np.zeros_like(x_input)
-    if np.abs(x_input - x_baseline).sum() == 0:
-        return attr
-
-    for step in range(steps):
-        grad_actual = np.asarray(
-            _softmax_grad(bundle.apply, bundle.params, jnp.asarray(xc),
-                          target))
-        grad = grad_actual.copy()
-        alpha = (step + 1.0) / steps
-        alpha_min = max(alpha - max_dist, 0.0)
-        alpha_max = min(alpha + max_dist, 1.0)
-        x_min = x_baseline + (x_input - x_baseline) * alpha_min
-        x_max = x_baseline + (x_input - x_baseline) * alpha_max
-        l1_target = l1_total * (1 - (step + 1) / steps)
-
-        gamma = np.inf
-        while gamma > 1.0:
-            x_old = xc.copy()
-            with np.errstate(invalid="ignore", divide="ignore"):
-                x_alpha = np.where(x_input - x_baseline != 0,
-                                   (xc - x_baseline) / (x_input - x_baseline),
-                                   np.nan)
-            x_alpha[np.isnan(x_alpha)] = alpha_max
-            behind = x_alpha < alpha_min
-            xc[behind] = x_min[behind]
-
-            l1_current = np.abs(xc - x_input).sum()
-            if math.isclose(l1_target, l1_current, rel_tol=EPSILON,
-                            abs_tol=EPSILON):
-                attr += (xc - x_old) * grad_actual
-                break
-
-            grad[xc == x_max] = np.inf
-            threshold = _quantile_lower(np.abs(grad), fraction)
-            s = np.logical_and(np.abs(grad) <= threshold, grad != np.inf)
-
-            l1_s = (np.abs(xc - x_max) * s).sum()
-            gamma = ((l1_current - l1_target) / l1_s) if l1_s > 0 else np.inf
-
-            if gamma > 1.0:
-                xc[s] = x_max[s]
-            else:
-                assert gamma > 0, gamma
-                # translate_alpha_to_x(gamma, x_max, xc)
-                xc[s] = (xc + (x_max - xc) * gamma)[s]
-
-            attr += (xc - x_old) * grad_actual
-
-    return attr
+    x_input = jnp.asarray(x, jnp.float32)
+    x_baseline = (jnp.zeros_like(x_input) if baseline is None
+                  else jnp.asarray(baseline, jnp.float32))
+    if float(jnp.abs(x_input - x_baseline).sum()) == 0:
+        return np.zeros_like(np.asarray(x_input))
+    return np.asarray(_gig_device(bundle.apply, bundle.params, x_input,
+                                  steps, fraction, max_dist, x_baseline,
+                                  target))
