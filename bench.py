@@ -114,6 +114,17 @@ def bench_resnet_ig(extras):
     extras.append({"metric": "battery10_images_per_sec",
                    "value": round(n / (time.perf_counter() - t0), 3),
                    "unit": "images/s/chip"})
+    # Guided IG: the whole adaptive path search is one device dispatch
+    from xai_tpu.methods import gig as GIG
+    g1 = lambda i: GIG.guided_ig(bundle, imgs[i % 8], i % 1000, steps=50)
+    g1(0)
+    t0 = time.perf_counter()
+    n = 6
+    for i in range(n):
+        g1(i)
+    extras.append({"metric": "resnet50_guided_ig50_attr_per_sec",
+                   "value": round(n / (time.perf_counter() - t0), 3),
+                   "unit": "attr/s/chip"})
     return rate
 
 
@@ -134,6 +145,13 @@ def bench_vit(extras):
     b1(0).block_until_ready()
     extras.append({"metric": "vit_b16_bi_attn_attr_per_sec",
                    "value": round(_blocked(b1, 8), 3),
+                   "unit": "attr/s/chip"})
+
+    from xai_tpu.methods import vit_lrp as VL
+    t1 = lambda i: VL.transformer_attribution(bundle, imgs[i % 4], i % 1000)
+    t1(0).block_until_ready()
+    extras.append({"metric": "vit_b16_t_attr_attr_per_sec",
+                   "value": round(_pipelined(t1, 16), 3),
                    "unit": "attr/s/chip"})
 
 
