@@ -249,6 +249,10 @@ def _install_stubs():
             disk=_unavailable("skimage disk"))
         sk.transform = _mod(
             "skimage.transform", resize=_unavailable("skimage resize"))
+        sk.io = _mod("skimage.io", imsave=_unavailable("skimage imsave"))
+        sk.feature = _mod("skimage.feature",
+                          canny=_unavailable("skimage canny"))
+        sk.filters = _mod("skimage.filters")
         sk.util = _mod(
             "skimage.util",
             # float images pass through unchanged (the only use here:

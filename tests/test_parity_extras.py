@@ -92,3 +92,18 @@ def test_mas_embeddings_capture(small_vit):
     assert classes.shape == (33,)
     assert resp.shape == (33,)
     assert np.isfinite(embs).all()
+
+
+def test_hm_to_rgb_matches_reference():
+    """render.hm_to_rgb (evaluations/utils/render.py:153-216), the heatmap
+    colorizer the reference's HDF5 results reader uses."""
+    import numpy as np
+    from tests import reference_loader as rl
+    from xai_tpu.utils.visualization import hm_to_rgb
+    ref = rl.load_ref("XAI_Survey/evaluations/utils/render.py",
+                      "_ref_render")
+    R = np.random.RandomState(0).randn(14, 14)
+    for cmap in ("seismic", "bwr"):
+        want = ref.hm_to_rgb(R.copy(), scaling=3, sigma=1, cmap=cmap)
+        got = hm_to_rgb(R.copy(), scaling=3, sigma=1, cmap=cmap)
+        assert np.abs(want - got).max() == 0.0

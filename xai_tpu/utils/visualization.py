@@ -73,3 +73,27 @@ def attr_to_subplot(attr, title, axs, norm: str = "absolute", cmap=None,
                        vmax=vmax)
     axs.set_xticks([])
     axs.set_yticks([])
+
+
+def enlarge_image(img: np.ndarray, scaling: int = 3) -> np.ndarray:
+    """Pixel-replication upscale (evaluations/utils/render.py:35-82)."""
+    if scaling < 1 or int(scaling) != scaling:
+        raise ValueError("scaling factor needs to be an int >= 1")
+    reps = (scaling, scaling) + (1,) * (img.ndim - 2)
+    return np.kron(img, np.ones(reps, dtype=img.dtype))
+
+
+def hm_to_rgb(R: np.ndarray, scaling: int = 3, cmap: str = "bwr",
+              normalize: bool = True, sigma: float = 2) -> np.ndarray:
+    """Heatmap -> RGB image (evaluations/utils/render.py:153-216, used by
+    the reference's HDF5 results reader expl_hdf5.py:47).  The outline
+    branch is dead code upstream (canny commented out); ``sigma`` is kept
+    for signature parity."""
+    import matplotlib.cm
+    R = np.asarray(R, dtype=np.float64)
+    if normalize:
+        R = R / np.max(np.abs(R))
+        R = (R + 1.0) / 2.0
+    R = enlarge_image(R, scaling)
+    cm = matplotlib.colormaps[cmap]
+    return cm(R.reshape(-1))[..., 0:3].reshape(R.shape[0], R.shape[1], 3)
