@@ -80,13 +80,14 @@ def sharded_battery_scores(bundle, mesh, images, saliencies, blur_fn,
     evaluatePerturbation.py:561)."""
     from ..metrics.curves import (density_response, mas_scores,
                                   monotone_normalize)
-    from ..ops.stats import auc, spearman
+    from ..ops.stats import auc_np as auc
+    from ..ops.stats import spearman_np as spearman
 
     B, H = images.shape[0], images.shape[1]
     n_steps = H
     if targets is None:
         targets = np.asarray(
-            jnp.argmax(bundle.apply(bundle.params, jnp.asarray(images)),
+            jnp.argmax(bundle.logits_fn(bundle.params, jnp.asarray(images)),
                        axis=-1))
     targets = np.asarray(targets)
     flips_desc = np.stack([pixel_flip_steps(s, H) for s in saliencies])
