@@ -47,7 +47,7 @@ class _RevealMetric:
         deletion = self.mode in ("del", "morf", "lerf", "negative")
         start, finish = (img, sub) if deletion else (sub, img)
         target = int(jnp.argmax(
-            self.bundle.apply(self.bundle.params, img[None])[0]))
+            self.bundle.logits_fn(self.bundle.params, img[None])[0]))
         chunk = min(max_batch_size, 25)
         out = reveal_curves(self.bundle.apply, self.bundle.params, start,
                             finish, flip, n_steps, target, chunk=chunk,
@@ -92,7 +92,7 @@ class MASMetric(_RevealMetric):
         embs, classes = _embeddings_sweep(self.bundle, start, finish, flip,
                                           n_steps, chunk=max_batch_size)
         target = int(jnp.argmax(
-            self.bundle.apply(self.bundle.params, img[None])[0]))
+            self.bundle.logits_fn(self.bundle.params, img[None])[0]))
         out = reveal_curves(self.bundle.apply, self.bundle.params, start,
                             finish, flip, n_steps, target,
                             chunk=min(max_batch_size, 25),
