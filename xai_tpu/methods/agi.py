@@ -20,7 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@functools.lru_cache(maxsize=64)
 def _make_norm_apply(apply_fn, mean, std):
+    """Cached per (apply_fn, stats): a fresh closure per call would be a
+    new static argument to _agi_attack's jit and retrace the whole PGD
+    attack on EVERY image."""
     mean = jnp.asarray(mean)
     std = jnp.asarray(std)
 
@@ -28,6 +32,11 @@ def _make_norm_apply(apply_fn, mean, std):
         return apply_fn(p, (x - mean) / std)
 
     return norm_apply
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_napply(napply):
+    return jax.jit(napply)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
@@ -69,8 +78,10 @@ def agi_raw(bundle, trans_img, selected, epsilon: float = 0.05,
     reference's ``test`` return value ``adv_ex`` (AGI.py:83-115).  trans_img:
     [H, W, 3] in [0, 1]; selected: iterable of target class ids."""
     x = jnp.asarray(trans_img)
-    napply = _make_norm_apply(bundle.apply, bundle.meta.mean, bundle.meta.std)
-    init_pred = int(jnp.argmax(napply(bundle.params, x[None])[0]))
+    napply = _make_norm_apply(bundle.apply, tuple(bundle.meta.mean),
+                              tuple(bundle.meta.std))
+    init_pred = int(jnp.argmax(_jit_napply(napply)(bundle.params,
+                                                   x[None])[0]))
 
     step_grad = jnp.zeros_like(x)
     for t in selected:

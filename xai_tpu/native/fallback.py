@@ -115,7 +115,9 @@ def quickshift_np(img, ratio=0.2, kernel_size=4.0, max_dist=200.0):
             dd[ys, xs] = contrib
             density += dd.ravel()
     parent = np.arange(H * W)
-    wd = int(np.ceil(max_dist))
+    # parent search confined to the kernel window (as skimage does);
+    # max_dist is only the joint-distance cutoff -> root
+    wd = min(w, int(np.ceil(max_dist)))
     dens2 = density.reshape(H, W)
     for y in range(H):
         for x in range(W):

@@ -304,8 +304,14 @@ int quickshift(const float* image, int H, int W, float ratio,
       density[p] = acc;
     }
 
-  // link each pixel to nearest neighbor with higher density within max_dist
-  int wd = (int)ceilf(max_dist);
+  // link each pixel to the nearest higher-density neighbor.  skimage
+  // confines the parent search to the SAME 3*kernel_size window as the
+  // density estimate; max_dist is only the joint-distance cutoff beyond
+  // which the pixel stays a root ("higher means fewer clusters").  A
+  // max_dist-wide search (the previous behavior) cost O(N * max_dist^2)
+  // (~10 s at 224^2 with LIME's max_dist=200) and collapsed everything
+  // into one segment.  Ring-by-ring scan with an r^2 >= best early exit.
+  int wd = std::min(w, (int)ceilf(max_dist));
   std::vector<int> parent(N);
   std::iota(parent.begin(), parent.end(), 0);
   for (int y = 0; y < H; y++)
@@ -313,18 +319,42 @@ int quickshift(const float* image, int H, int W, float ratio,
       int p = y * W + x;
       float best = max_dist * max_dist;
       int bestq = p;
-      for (int yy = std::max(0, y - wd); yy <= std::min(H - 1, y + wd); yy++)
-        for (int xx = std::max(0, x - wd); xx <= std::min(W - 1, x + wd);
-             xx++) {
-          int q = yy * W + xx;
-          if (density[q] <= density[p]) continue;
-          float d = (float)((y - yy) * (y - yy) + (x - xx) * (x - xx));
-          for (int c = 0; c < 3; c++) {
-            float v = lab[3 * p + c] - lab[3 * q + c];
-            d += v * v;
+      float dp = density[p];
+      for (int r = 1; r <= wd; r++) {
+        if ((float)(r) * (float)(r) >= best) break;
+        int y0 = y - r, y1 = y + r, x0 = x - r, x1 = x + r;
+        // ring perimeter: top & bottom rows, left & right columns
+        for (int pass = 0; pass < 2; pass++) {
+          int yy = pass == 0 ? y0 : y1;
+          if (yy < 0 || yy >= H) continue;
+          int xs = std::max(0, x0), xe = std::min(W - 1, x1);
+          for (int xx = xs; xx <= xe; xx++) {
+            int q = yy * W + xx;
+            if (density[q] <= dp) continue;
+            float d = (float)((y - yy) * (y - yy) + (x - xx) * (x - xx));
+            for (int c = 0; c < 3; c++) {
+              float v = lab[3 * p + c] - lab[3 * q + c];
+              d += v * v;
+            }
+            if (d < best) { best = d; bestq = q; }
           }
-          if (d < best) { best = d; bestq = q; }
         }
+        for (int pass = 0; pass < 2; pass++) {
+          int xx = pass == 0 ? x0 : x1;
+          if (xx < 0 || xx >= W) continue;
+          int ys = std::max(0, y0 + 1), ye = std::min(H - 1, y1 - 1);
+          for (int yy = ys; yy <= ye; yy++) {
+            int q = yy * W + xx;
+            if (density[q] <= dp) continue;
+            float d = (float)((y - yy) * (y - yy) + (x - xx) * (x - xx));
+            for (int c = 0; c < 3; c++) {
+              float v = lab[3 * p + c] - lab[3 * q + c];
+              d += v * v;
+            }
+            if (d < best) { best = d; bestq = q; }
+          }
+        }
+      }
       parent[p] = bestq;
     }
 
