@@ -27,9 +27,13 @@ def _norm_rows(m):
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
 def _causal_scores(apply_fn, params, x, masks, noise, chunk, class_p,
-                   target):
-    """masks: [K, H, W]; returns saliency [H, W] for target."""
+                   target, real_k=None):
+    """masks: [K, H, W]; returns saliency [H, W] for target.  ``real_k``:
+    number of REAL masks when the stack is zero-padded to a bucket size
+    (zero masks contribute nothing to the einsum; only the final 1/K
+    normalization must use the true count)."""
     K, H, W = masks.shape
+    real_k = K if real_k is None else real_k
 
     def probs(xb):
         return jax.nn.softmax(apply_fn(params, xb), axis=-1)
@@ -53,7 +57,40 @@ def _causal_scores(apply_fn, params, x, masks, noise, chunk, class_p,
 
     mask_div = masks / masks.sum(axis=0, keepdims=True)
     sal = jnp.einsum("k,khw->hw", diffs, mask_div)
-    return sal / K
+    return sal / real_k
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _masks_and_sim_jit(apply_taps, params, xb, H):
+    """-> (row-minmaxed masks [D, H*H], cosine similarity [D, D], probs)."""
+    logits, taps = apply_taps(params, xb)
+    probs0 = jax.nn.softmax(logits[0])
+    feat = taps["norm1_out"][-1][0, 1:]             # [P*P, D]
+    P = int(feat.shape[0] ** 0.5)
+    fmap = feat.reshape(P, P, -1).transpose(2, 0, 1)  # [D, P, P]
+    up = jax.image.resize(fmap, (fmap.shape[0], H, H), method="linear")
+    m = up.reshape(fmap.shape[0], H * H)
+    mn = m.min(axis=1, keepdims=True)
+    mx = m.max(axis=1, keepdims=True)
+    masks = (m - mn) / (mx - mn)
+    norms = jnp.linalg.norm(masks, axis=1)
+    sim = (masks @ masks.T) / jnp.maximum(jnp.outer(norms, norms), 1e-12)
+    return masks, sim, probs0
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _cluster_and_score_jit(apply_fn, chunk, Kp, params, x, masks, labels,
+                           noise, class_p, target, real_k):
+    """Cluster-sum masks via segment_sum (padded to Kp), row-minmax, then
+    the causal scoring sweep — all one dispatch."""
+    cm = jax.ops.segment_sum(masks, labels, num_segments=Kp)
+    mn = cm.min(axis=1, keepdims=True)
+    mx = cm.max(axis=1, keepdims=True)
+    cm = jnp.where(mx > mn, (cm - mn) / jnp.where(mx > mn, mx - mn, 1.0),
+                   0.0)
+    H = x.shape[0]
+    return _causal_scores(apply_fn, params, x, cm.reshape(Kp, H, H), noise,
+                          chunk, class_p, target, real_k=real_k)
 
 
 def vit_cx(bundle, x, target=None, distance_threshold: float = 0.1,
@@ -71,42 +108,38 @@ def vit_cx(bundle, x, target=None, distance_threshold: float = 0.1,
     H = x.shape[0]
     key = key if key is not None else jax.random.PRNGKey(0)
 
-    logits, taps = bundle.apply_taps(bundle.params, x[None])
-    probs0 = jax.nn.softmax(logits[0])
+    # masks + their pairwise cosine similarity stay ON DEVICE: the
+    # upsampled feature-map masks are [D, H, H] (~150 MB for ViT-B) and the
+    # similarity matmul is ~60 GFLOP — transferring the masks to host and
+    # multiplying in numpy used to cost ~9 s/image; only the [D, D]
+    # similarity (2 MB) comes back for sklearn's clustering.
+    masks, sim, probs0 = _masks_and_sim_jit(bundle.apply_taps,
+                                            bundle.params, x[None], H)
     if target is None:
         target = int(jnp.argmax(probs0))
     class_p = float(probs0[target])
-
-    # feature maps: last block norm1 output, tokens -> [D, P, P]
-    feat = taps["norm1_out"][-1][0, 1:]             # [P*P, D]
-    P = int(feat.shape[0] ** 0.5)
-    fmap = feat.reshape(P, P, -1).transpose(2, 0, 1)  # [D, P, P]
-    up = jax.image.resize(fmap, (fmap.shape[0], H, H), method="linear")
-    masks = _norm_rows(np.asarray(up.reshape(fmap.shape[0], H * H)))
-
-    # pairwise cosine similarity -> distance -> complete-link clustering
-    norms = np.linalg.norm(masks, axis=1)
-    sim = (masks @ masks.T) / np.maximum(np.outer(norms, norms), 1e-12)
-    sim = np.nan_to_num(sim)
-    dist = 1.0 - sim
+    dist = 1.0 - np.nan_to_num(np.asarray(sim))
     cl = AgglomerativeClustering(n_clusters=None,
                                  distance_threshold=distance_threshold,
                                  metric="precomputed", linkage="complete")
     labels = cl.fit(dist).labels_
-    K = labels.max() + 1
-    cluster_masks = np.zeros((K, H * H), dtype=np.float32)
-    for i, l in enumerate(labels):
-        cluster_masks[l] += masks[i]
-    cluster_masks = _norm_rows(cluster_masks).reshape(K, H, H)
+    K = int(labels.max()) + 1
+    # pad the cluster count to a bucket so the jit shapes repeat across
+    # images (K varies per image; every distinct K would recompile the
+    # scoring sweep).  Padded slots sum zero masks and contribute nothing.
+    bucket = 64
+    Kp = ((K + bucket - 1) // bucket) * bucket
 
     if noise is None:
-        noise = jax.random.normal(key, (K, H, H, 3)) * 0.1
+        noise_b = jax.random.normal(key, (Kp, H, H, 3)) * 0.1
     else:
         noise = jnp.asarray(noise)
         assert noise.shape == (K, H, H, 3), (noise.shape, K)
-    chunk = min(gpu_batch, K)
-    sal = _causal_scores(bundle.apply, bundle.params, x,
-                         jnp.asarray(cluster_masks), noise, chunk, class_p,
-                         target)
+        noise_b = jnp.concatenate(
+            [noise, jnp.zeros((Kp - K, H, H, 3))])
+    chunk = min(gpu_batch, bucket)
+    sal = _cluster_and_score_jit(bundle.apply, chunk, Kp, bundle.params, x,
+                                 masks, jnp.asarray(labels, jnp.int32),
+                                 noise_b, class_p, target, K)
     sal = np.asarray(sal)
     return (sal - sal.min()) / (sal.max() - sal.min())
