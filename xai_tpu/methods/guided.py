@@ -34,8 +34,14 @@ guided_relu.defvjp(_guided_fwd, _guided_bwd)
 
 
 def _guided_apply(bundle):
-    """bundle's model rebuilt with the guided ReLU (flax Module.clone)."""
-    model = bundle.extras["model"]
+    """bundle's model rebuilt with the guided ReLU (flax Module.clone).
+    Cached per model: a fresh closure per call would be a new static jit
+    argument to _input_grad and retrace the backward on every image."""
+    return _guided_apply_cached(bundle.extras["model"])
+
+
+@functools.lru_cache(maxsize=64)
+def _guided_apply_cached(model):
     gm = model.clone(relu=guided_relu)
 
     def apply(p, x):
