@@ -278,13 +278,17 @@ def game(bundle, x, text_tokens, start_layer: int = -1) -> jnp.ndarray:
         # the diagonal one_hot gives each caption its own relevance slice
         x = jnp.repeat(x, text_tokens.shape[0], axis=0)
     cfg = bundle.extras["cfg"]
-    vtap, _, gv, _ = _mm_grads(bundle.extras["model"], cfg, bundle.params,
-                               x, text_tokens)
     sl = cfg.vision_layers - 1 if start_layer == -1 else start_layer
-    R = _relevance(vtap["attn"], gv, sl)
+    return _game_jit(bundle.extras["model"], cfg, sl, bundle.params, x,
+                     text_tokens)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _game_jit(model, cfg, start_layer, params, x, text_tokens):
+    vtap, _, gv, _ = _mm_grads(model, cfg, params, x, text_tokens)
+    R = _relevance(vtap["attn"], gv, start_layer)
     rel = R[:, 0, 1:]
-    p = cfg.grid
-    return rel.sum(0).reshape(p, p)
+    return rel.sum(0).reshape(cfg.grid, cfg.grid)
 
 
 def clip_lrp(bundle, x, text_tokens, start_layer: int = 0,
@@ -298,12 +302,17 @@ def clip_lrp(bundle, x, text_tokens, start_layer: int = 0,
     if x.shape[0] == 1 and text_tokens.shape[0] > 1:
         x = jnp.repeat(x, text_tokens.shape[0], axis=0)
     cfg = bundle.extras["cfg"]
-    vtap, ttap, gv, gt = _mm_grads(bundle.extras["model"], cfg,
-                                   bundle.params, x, text_tokens)
+    return _clip_lrp_jit(bundle.extras["model"], cfg, start_layer,
+                         start_layer_text, bundle.params, x, text_tokens)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _clip_lrp_jit(model, cfg, start_layer, start_layer_text, params, x,
+                  text_tokens):
+    vtap, ttap, gv, gt = _mm_grads(model, cfg, params, x, text_tokens)
     R_img = _relevance(vtap["attn"], gv, start_layer)
     R_txt = _relevance(ttap["attn"], gt, start_layer_text)
-    p = cfg.grid
-    return R_txt, R_img[0, 0, 1:].reshape(p, p)
+    return R_txt, R_img[0, 0, 1:].reshape(cfg.grid, cfg.grid)
 
 
 def clip_rollout(bundle, x, text_tokens) -> jnp.ndarray:
