@@ -32,7 +32,7 @@ import os as _os
 
 import jax as _jax
 
-# persistent compilation cache: successive runner invocations (the 232-run
+# persistent compilation cache: successive runner invocations (the 217-run
 # sweep pattern) skip recompilation entirely
 _cache_dir = _os.environ.get("XAI_TPU_CACHE",
                              _os.path.expanduser("~/.cache/xai_tpu_xla"))

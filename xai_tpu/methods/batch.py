@@ -1,0 +1,571 @@
+"""Batched multi-image attribution — the production fused path.
+
+Round 2 proved the throughput thesis on IG (``gradient.ig_batch``: image +
+interpolation axes folded into one dispatch, +33% f32 / 2x bf16), but only
+``bench.py`` used it.  This module generalizes the pattern to EVERY
+single-dispatch method so the drivers can attribute ``--image_batch`` images
+per device call (reference loop shape: evaluatePerturbation.py:520-599, one
+image at a time):
+
+- the IG family (ig/lig/idg/idgi/sg) flattens the image axis into the
+  chunked interpolation sweep — one ``lax.map`` fwd+VJP over ``B*steps``
+  (or ``B*samples*steps``) images, per-image cutoffs/redistribution
+  vectorized with ``vmap``;
+- every other single-jit method (grad, gbp/gc/ggc, gs/fa/occ/shap, guided
+  IG, AGI, all ViT explainers, all CLIP dense explainers) wraps its
+  existing fused core in ``jit(vmap(...))`` — the per-image cores are pure
+  traceable functions, so batching is one transform, not a rewrite;
+- methods whose control flow is host-side combinatorial (XRAI, LIME, MDA,
+  TIS, ViT-CX, RISE's 2000-mask memory footprint, M2IB, surgery) keep the
+  per-image path — ``batch_attribution`` returns None and the caller falls
+  back.
+
+Outputs are FINAL [B, H, W] saliencies (same post-processing as the
+single-image registry entries: abs-channel-sum, patch upsample, 14x14
+down/up for fa/occ), so the driver's metric battery consumes them directly.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ablation as AB
+from . import gradient as G
+from . import guided as GD
+from .agi import _agi_attack, _jit_napply, _make_norm_apply
+from .gig import _gig_device
+from ..ops.resize import resize_bilinear, resize_nearest_exact
+
+
+# ---------------------------------------------------------------------------
+# shared flattened fwd+VJP sweep (the ig_batch pattern)
+# ---------------------------------------------------------------------------
+
+def _flat_grads(apply_fn, params, imgs, tgts, chunk):
+    """imgs: [N, H, W, C]; tgts: [N] -> (grads f32 [N, H, W, C], logits f32
+    [N]) via one chunked ``lax.map`` of batched VJPs."""
+    n = imgs.shape[0]
+    imgs_c = imgs.reshape((n // chunk, chunk) + imgs.shape[1:])
+    tgt_c = tgts.reshape(n // chunk, chunk)
+
+    def scores_sum(xb, tb):
+        logits = apply_fn(params, xb).astype(jnp.float32)
+        s = jnp.take_along_axis(logits, tb[:, None], axis=1)[:, 0]
+        return s.sum(), s
+
+    def one(args):
+        xb, tb = args
+        (_, s), g = jax.value_and_grad(scores_sum, has_aux=True)(xb, tb)
+        return g, s
+
+    g, s = jax.lax.map(one, (imgs_c, tgt_c))
+    return (g.reshape(imgs.shape).astype(jnp.float32),
+            s.reshape(n).astype(jnp.float32))
+
+
+def _flat_logits(apply_fn, params, imgs, tgts, chunk):
+    n = imgs.shape[0]
+    imgs_c = imgs.reshape((n // chunk, chunk) + imgs.shape[1:])
+    tgt_c = tgts.reshape(n // chunk, chunk)
+
+    def one(args):
+        xb, tb = args
+        logits = apply_fn(params, xb).astype(jnp.float32)
+        return jnp.take_along_axis(logits, tb[:, None], axis=1)[:, 0]
+
+    return jax.lax.map(one, (imgs_c, tgt_c)).reshape(n)
+
+
+def _fit_chunk(n, chunk):
+    chunk = min(chunk, n)
+    while n % chunk:
+        chunk -= 1
+    return chunk
+
+
+# ---------------------------------------------------------------------------
+# IG family: ig / lig (saliencyMethods.py:13-72, batched)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def _ig_family_jit(apply_fn, params, xs_sweep, xs_f32, targets, steps,
+                   chunk, alpha_star):
+    """Zero-baseline IG/LIG over a batch: [B, H, W] saliency."""
+    B = xs_sweep.shape[0]
+    alphas = jnp.linspace(0.0, 1.0, steps).astype(xs_sweep.dtype)
+    imgs = (alphas.reshape(1, steps, 1, 1, 1) *
+            xs_sweep[:, None]).reshape((B * steps,) + xs_sweep.shape[1:])
+    tgt = jnp.repeat(targets, steps)
+    grads, logits = _flat_grads(apply_fn, params, imgs, tgt, chunk)
+    grads = grads.reshape((B, steps) + xs_sweep.shape[1:])
+    if alpha_star >= 1.0:
+        mean_grads = grads.mean(axis=1)
+    else:
+        logits = logits.reshape(B, steps)
+
+        def one_cut(lg):
+            cutoff = jnp.max(lg) * alpha_star
+            above = lg > cutoff
+            first = jnp.argmax(above)
+            return jnp.maximum(jnp.where(jnp.any(above), first, 1), 1)
+
+        cut = jax.vmap(one_cut)(logits)
+        w = (jnp.arange(steps)[None] < cut[:, None]).astype(jnp.float32)
+        mean_grads = jnp.einsum("bs,bshwc->bhwc", w, grads) / \
+            cut[:, None, None, None].astype(jnp.float32)
+    return jnp.abs((mean_grads * xs_f32).sum(-1))
+
+
+def ig_lig_batch(bundle, xs, targets, steps=50, alpha_star=1.0, dtype=None,
+                 chunk=100):
+    xs = jnp.asarray(xs, jnp.float32)
+    chunk = _fit_chunk(xs.shape[0] * steps, chunk)
+    tb = jnp.asarray(targets, jnp.int32)
+    if dtype is not None:
+        params = G._cast_params_cached(bundle, dtype)
+        return _ig_family_jit(bundle.apply, params, xs.astype(dtype), xs,
+                              tb, steps, chunk, alpha_star)
+    return _ig_family_jit(bundle.apply, bundle.params, xs, xs, tb, steps,
+                          chunk, alpha_star)
+
+
+# ---------------------------------------------------------------------------
+# IDG (saliencyMethods.py:74-136) / IDGI (:139-181), batched
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _idg_batch_jit(apply_fn, params, xs, targets, steps, chunk):
+    B = xs.shape[0]
+    tgt = jnp.repeat(targets, steps)
+    uni = jnp.linspace(0.0, 1.0, steps)
+    pilot_imgs = (uni.reshape(1, steps, 1, 1, 1) *
+                  xs[:, None]).reshape((B * steps,) + xs.shape[1:])
+    pilot = _flat_logits(apply_fn, params, pilot_imgs, tgt,
+                         chunk).reshape(B, steps)
+    step_size = 1.0 / (steps - 1)
+    slopes = jnp.concatenate(
+        [jnp.zeros((B, 1)), (pilot[:, 1:] - pilot[:, :-1]) / step_size],
+        axis=1)
+    alphas, substep = jax.vmap(
+        lambda s: G._alpha_parameters(s, steps, step_size))(slopes)
+    imgs = (alphas[:, :, None, None, None] *
+            xs[:, None]).reshape((B * steps,) + xs.shape[1:])
+    grads, logits = _flat_grads(apply_fn, params, imgs, tgt, chunk)
+    grads = grads.reshape((B, steps) + xs.shape[1:])
+    logits = logits.reshape(B, steps)
+    d_alpha = alphas[:, 1:] - alphas[:, :-1]
+    new_slopes = jnp.concatenate(
+        [jnp.zeros((B, 1)), (logits[:, 1:] - logits[:, :-1]) / d_alpha],
+        axis=1)
+    weighted = grads * (new_slopes * substep)[:, :, None, None, None]
+    return jnp.abs((weighted.mean(axis=1) * xs).sum(-1))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _idgi_batch_jit(apply_fn, params, xs, targets, steps, chunk):
+    B = xs.shape[0]
+    alphas = jnp.linspace(0.0, 1.0, steps)
+    imgs = (alphas.reshape(1, steps, 1, 1, 1) *
+            xs[:, None]).reshape((B * steps,) + xs.shape[1:])
+    tgt = jnp.repeat(targets, steps)
+    grads, logits = _flat_grads(apply_fn, params, imgs, tgt, chunk)
+    grads = grads.reshape((B, steps) + xs.shape[1:])
+    logits = logits.reshape(B, steps)
+    d = logits[:, 1:] - logits[:, :-1]
+    g2 = grads[:, :-1] ** 2
+    denom = g2.sum(axis=(2, 3, 4), keepdims=True)
+    term = jnp.where(denom > 0,
+                     g2 * d[:, :, None, None, None] / denom, 0.0)
+    return jnp.abs(term.sum(axis=1).sum(-1))
+
+
+# ---------------------------------------------------------------------------
+# SmoothGrad (saliencyMethods.py:184-205), batched: B*samples*steps sweep
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 9, 10))
+def _sg_batch_jit(apply_fn, params, xs_sweep, xs_f32, keys, steps, samples,
+                  chunk, targets, alpha_star, quirk):
+    B = xs_f32.shape[0]
+    img_shape = xs_f32.shape[1:]
+
+    def noise_one(k, x):
+        stdev = 0.15 * (x.max() - x.min())
+        return stdev * jax.random.normal(k, (samples,) + img_shape,
+                                         jnp.float32)
+
+    noises = jax.vmap(noise_one)(keys, xs_f32)          # [B, S, H, W, C]
+    xi = xs_f32[:, None] + noises                       # diff vs 0 baseline
+    alphas = jnp.linspace(0.0, 1.0, steps).reshape(1, 1, steps, 1, 1, 1)
+    imgs = (alphas * xi[:, :, None]).reshape(
+        (B * samples * steps,) + img_shape).astype(xs_sweep.dtype)
+    tgt = jnp.repeat(targets, samples * steps)
+    grads, logits = _flat_grads(apply_fn, params, imgs, tgt, chunk)
+    grads = grads.reshape((B, samples, steps) + img_shape)
+    if alpha_star >= 1.0:
+        mean_grads = grads.mean(axis=2)                 # [B, S, H, W, C]
+    else:
+        lg = logits.reshape(B, samples, steps)
+
+        def one_cut(l):
+            cutoff = jnp.max(l) * alpha_star
+            above = l > cutoff
+            first = jnp.argmax(above)
+            return jnp.maximum(jnp.where(jnp.any(above), first, 1), 1)
+
+        cut = jax.vmap(jax.vmap(one_cut))(lg)           # [B, S]
+        w = (jnp.arange(steps)[None, None] < cut[..., None]).astype(
+            jnp.float32)
+        mean_grads = jnp.einsum("bst,bsthwc->bshwc", w, grads) / \
+            cut[..., None, None, None].astype(jnp.float32)
+    per_sample = mean_grads * xi                        # [B, S, H, W, C]
+    if quirk:
+        # reference tuple-unpack keeps channel 0 broadcast over channels
+        per_sample = jnp.broadcast_to(per_sample[..., 0:1], per_sample.shape)
+    return jnp.abs(per_sample.mean(axis=1).sum(-1))
+
+
+def sg_batch(bundle, xs, targets, keys, steps=50, samples=25,
+             alpha_star=1.0, dtype=None, chunk=None, quirk=True):
+    xs = jnp.asarray(xs, jnp.float32)
+    chunk = _fit_chunk(xs.shape[0] * samples * steps,
+                       chunk or min(bundle.meta.batch_size, steps))
+    tb = jnp.asarray(targets, jnp.int32)
+    keys = jnp.asarray(keys)
+    if dtype is not None:
+        params = G._cast_params_cached(bundle, dtype)
+        return _sg_batch_jit(bundle.apply, params, xs.astype(dtype), xs,
+                             keys, steps, samples, chunk, tb, alpha_star,
+                             quirk)
+    return _sg_batch_jit(bundle.apply, bundle.params, xs, xs, keys, steps,
+                         samples, chunk, tb, alpha_star, quirk)
+
+
+# ---------------------------------------------------------------------------
+# AGI: vmapped PGD attack + per-image host percentile clip (AGI.py:83-139)
+# ---------------------------------------------------------------------------
+
+def agi_batch(bundle, trans_imgs, epsilon=0.05, topk=1, max_iter=20):
+    """Driver config: attack classes range(0, 999, 1000//topk); percentile
+    [80, 99] clip per image.  trans_imgs: [B, H, W, 3] in [0, 1]."""
+    xs = jnp.asarray(trans_imgs, jnp.float32)
+    napply = _make_norm_apply(bundle.apply, tuple(bundle.meta.mean),
+                              tuple(bundle.meta.std))
+    init_preds = jnp.argmax(_jit_napply(napply)(bundle.params, xs), axis=-1)
+    selected = list(range(0, 999, int(1000 / topk)))
+
+    total = _agi_batch_jit(napply, bundle.params, xs, init_preds,
+                           tuple(selected), max_iter, epsilon)
+    hm = np.asarray(total).mean(axis=-1)                # [B, H, W]
+    out = np.empty_like(hm)
+    for i in range(hm.shape[0]):
+        q = np.percentile(hm[i], 80)
+        u = np.percentile(hm[i], 99)
+        out[i] = (np.clip(hm[i], q, u) - q) / (u - q)
+    return np.abs(out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _agi_batch_jit(napply, params, xs, init_preds, selected, max_iter,
+                   epsilon):
+    def one(x, ip):
+        step_grad = jnp.zeros_like(x)
+        for t in selected:
+            delta = _agi_attack(napply, params, x, ip, t, max_iter, epsilon)
+            # reference skips attacking the image's own predicted class
+            step_grad = step_grad + jnp.where(ip == t, 0.0, delta)
+        return step_grad
+
+    return jax.vmap(one)(xs, init_preds)
+
+
+# ---------------------------------------------------------------------------
+# generic vmapped per-image adapters
+# ---------------------------------------------------------------------------
+
+_ADAPTER_CACHE: dict = {}
+
+
+def _cached_vmapped(name, anchor, extra_key, make):
+    """jit(vmap(adapter)) cached per (name, anchor id, statics); the anchor
+    object is held and identity-verified (id reuse after GC would otherwise
+    serve a stale trace — the _CAST_CACHE lesson)."""
+    key = (name, id(anchor), extra_key)
+    hit = _ADAPTER_CACHE.get(key)
+    if hit is not None and hit[0] is anchor:
+        return hit[1]
+    fn = jax.jit(jax.vmap(make(), in_axes=(None, 0, 0, 0, 0)))
+    _ADAPTER_CACHE[key] = (anchor, fn)
+    return fn
+
+
+def _down_up(attr_hwc, img_hw, num_patches=14):
+    chw = jnp.transpose(attr_hwc, (2, 0, 1))
+    down = resize_nearest_exact(chw, (num_patches, num_patches))
+    up = resize_bilinear(down, (img_hw, img_hw))
+    return jnp.transpose(up, (1, 2, 0))
+
+
+def _abs_sum(a):
+    return jnp.abs(a.sum(-1))
+
+
+# production driver constants (evaluatePerturbation.py:94-97, 164-176);
+# overridable via batch_attribution(opts=...) so tests can run tiny shapes
+_DEFAULT_OPTS = {
+    "num_patches": 14,        # fa/shap patch grid
+    "occ_window": 64, "occ_stride": 32,
+    "shap_samples": 25,
+    "gc_layer": "layer4",
+}
+
+
+def _cnn_adapter(name, bundle, img_hw, steps, opts):
+    """Traceable per-image fn (params, x, target, key, extra) -> [H, W]."""
+    apply_fn = bundle.apply
+
+    def in_grad(p, x, t):
+        return jax.grad(lambda xi: apply_fn(p, xi[None])[0, t])(x)
+
+    if name == "grad":
+        return lambda p, x, t, k, e: _abs_sum(in_grad(p, x, t))
+    if name == "inp_x_grad":
+        return lambda p, x, t, k, e: _abs_sum(x * in_grad(p, x, t))
+    if name == "gbp":
+        gapply = GD._guided_apply(bundle)
+        return lambda p, x, t, k, e: _abs_sum(
+            jax.grad(lambda xi: gapply(p, xi[None])[0, t])(x))
+    if name in ("gc", "ggc"):
+        ap = bundle.apply_probed
+        layer = opts["gc_layer"]
+
+        def gc_fn(p, x, t, k, e):
+            cam = GD._layer_gradcam(ap, p, x, t, layer, True)
+            return 3.0 * jnp.abs(resize_bilinear(cam, (img_hw, img_hw)))
+
+        if name == "gc":
+            return gc_fn
+        gapply = GD._guided_apply(bundle)
+
+        def ggc_fn(p, x, t, k, e):
+            cam = GD._layer_gradcam(ap, p, x, t, layer, True)
+            up = resize_nearest_exact(cam, (img_hw, img_hw))
+            gbp = jax.grad(lambda xi: gapply(p, xi[None])[0, t])(x)
+            return _abs_sum(gbp * up[..., None])
+
+        return ggc_fn
+    if name == "gs":
+        def gs_fn(p, x, t, k, e):
+            k2, bk = jax.random.split(k)
+            baselines = jax.random.normal(bk, (1,) + x.shape, x.dtype)
+            return _abs_sum(AB._gradient_shap(apply_fn, p, x, baselines, t,
+                                              5, k2))
+
+        return gs_fn
+    np_ = opts["num_patches"]
+    if name == "fa":
+        mask = AB.patch_mask(img_hw, np_)
+        n = np_ * np_
+        chunk = _fit_chunk(n, 49)
+        return lambda p, x, t, k, e: _abs_sum(_down_up(
+            AB._fa_jit(apply_fn, p, x, mask, t, n, chunk, 0.0), img_hw,
+            np_))
+    if name == "occ":
+        win, stride = opts["occ_window"], opts["occ_stride"]
+        n_pos = (img_hw - win) // stride + 1
+        chunk = _fit_chunk(n_pos * n_pos, 36)
+        return lambda p, x, t, k, e: _abs_sum(_down_up(
+            AB._occ_jit(apply_fn, p, x, t, img_hw, n_pos, win, stride,
+                        chunk, 0.0), img_hw, np_))
+    if name == "shap":
+        mask = AB.patch_mask(img_hw, np_)
+        n = np_ * np_
+        chunk = _fit_chunk(n + 1, 49)
+        n_samp = opts["shap_samples"]
+
+        def shap_fn(p, x, t, k, e):
+            perms = jax.vmap(lambda kk: jax.random.permutation(kk, n))(
+                jax.random.split(k, n_samp))
+            return _abs_sum(AB._shapley_jit(apply_fn, p, x, mask, t, perms,
+                                            n, chunk))
+
+        return shap_fn
+    if name == "gig":
+        def gig_fn(p, x, t, k, e):
+            x32 = x.astype(jnp.float32)
+            return _abs_sum(_gig_device(apply_fn, p, x32, steps, 0.5, 1.0,
+                                        jnp.zeros_like(x32), t))
+
+        return gig_fn
+    return None
+
+
+def _vit_adapter(name, bundle, img_hw, steps, opts):
+    from . import vit_explain as VE
+    from . import vit_lrp as VL
+
+    ap, at, cfg = bundle.apply_probed, bundle.apply_taps, bundle.extras
+    up = lambda m: jnp.abs(resize_bilinear(m, (img_hw, img_hw)))
+    table = {
+        "attn": lambda p, x, t, k, e: up(
+            VE._raw_attn_jit(at, -1, p, x[None])),
+        "grad": lambda p, x, t, k, e: up(
+            VE._attn_grad_jit(ap, cfg, -1, p, x[None], t)),
+        "cam_attn": lambda p, x, t, k, e: up(
+            VE._cam_attn_jit(ap, cfg, -1, p, x[None], t)),
+        "n_rollout": lambda p, x, t, k, e: up(
+            VE._rollout_jit(at, 0, False, p, x[None])),
+        "rollout": lambda p, x, t, k, e: up(
+            VE._rollout_jit(at, 0, True, p, x[None])),
+        "t_attn": lambda p, x, t, k, e: up(
+            VE._transition_jit(ap, cfg, 0, 20, p, x[None], t)),
+        "attn_ig": lambda p, x, t, k, e: up(
+            VE._attn_ig_jit(ap, cfg, 20, p, x[None], t)),
+        "attn_attr": lambda p, x, t, k, e: up(
+            VE._attn_attr_jit(ap, cfg, 0, p, x[None], t)),
+        "bi_attn": lambda p, x, t, k, e: up(
+            VE._bidirectional_jit(ap, cfg, 20, 4, p, x[None], t)),
+        "InFlow": lambda p, x, t, k, e: up(
+            VE._rave_jit(ap, cfg, True, 0, 12, p, x[None], t)),
+        "t_attr": lambda p, x, t, k, e: up(
+            VL._t_attr_jit(ap, cfg, 0, p, x[None], t)),
+    }
+    return table.get(name)
+
+
+# which batched extra array each CLIP method consumes
+CLIP_EXTRA_KIND = {
+    "eclip": "txt", "eclip_nograd": "txt", "eclip_wo": "txt",
+    "maskclip": "txt", "grad_cam": "txt", "selfattn": "none",
+    "game": "tok", "rollout": "tok", "lrp": "tok",
+}
+
+
+def _clip_adapter(name, bundle, img_hw, steps, opts):
+    from . import clip_explain as CE
+
+    model = bundle.extras["model"]
+    cfg = bundle.extras["cfg"]
+    at = bundle.apply_taps
+    up = lambda m: jnp.abs(resize_bilinear(m, (img_hw, img_hw)))
+    table = {
+        "eclip": lambda p, x, t, k, e: up(CE._grad_eclip_jit(
+            model, cfg, True, True, p, x[None], e[None])),
+        "eclip_nograd": lambda p, x, t, k, e: up(CE._grad_eclip_jit(
+            model, cfg, True, False, p, x[None], e[None])),
+        "eclip_wo": lambda p, x, t, k, e: up(CE._grad_eclip_jit(
+            model, cfg, False, True, p, x[None], e[None])),
+        "maskclip": lambda p, x, t, k, e: up(CE._mask_clip_jit(
+            model, cfg, p, x[None], e[None])),
+        "selfattn": lambda p, x, t, k, e: up(CE._self_attn_jit(
+            model, cfg, p, x[None])),
+        "grad_cam": lambda p, x, t, k, e: up(CE._clip_grad_cam_jit(
+            model, cfg, p, x[None], e[None])),
+        "game": lambda p, x, t, k, e: up(CE._game_jit(
+            model, cfg, cfg.vision_layers - 1, p, x[None], e[None])),
+        "lrp": lambda p, x, t, k, e: up(CE._clip_lrp_jit(
+            model, cfg, 0, 0, p, x[None], e[None])[1]),
+    }
+    if name == "rollout":
+        def ro_fn(p, x, t, k, e):
+            _, taps = at(p, x[None])
+            a = taps["attn"][-1].mean(axis=1)
+            n = a.shape[-1]
+            aug = a + jnp.eye(n)
+            aug = aug / aug.sum(-1, keepdims=True)
+            g = cfg.grid
+            return up(aug[0, 0, 1:].reshape(g, g))
+
+        return ro_fn
+    return table.get(name)
+
+
+_ADAPTERS = {"cnn": _cnn_adapter, "vit": _vit_adapter, "clip": _clip_adapter}
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+BATCH_NAMES = {
+    "cnn": ("ig", "lig", "idg", "idgi", "sg", "agi", "grad", "inp_x_grad",
+            "gbp", "gc", "ggc", "gs", "fa", "occ", "shap", "gig"),
+    "vit": ("attn", "grad", "cam_attn", "n_rollout", "rollout", "t_attn",
+            "attn_ig", "attn_attr", "bi_attn", "InFlow", "t_attr"),
+    "clip": tuple(CLIP_EXTRA_KIND),
+}
+
+
+def has_batch_impl(family: str, name: str) -> bool:
+    return name in BATCH_NAMES.get(family, ())
+
+
+def batch_attribution(family, name, bundle, xs, trans_imgs, targets, keys,
+                      extras=None, img_hw=224, steps=50, dtype=None,
+                      opts=None):
+    """[B, H, W] final saliencies in one (or a few) fused dispatches.
+
+    Returns None when the method has no batched implementation — the caller
+    loops the single-image path.  ``extras`` (CLIP): {"txt_emb": [B, E],
+    "text_tokens": [B, L]} stacked per-image rows.  ``opts`` overrides the
+    production method constants (_DEFAULT_OPTS) for small-shape tests.
+    """
+    xs = jnp.asarray(xs)
+    targets = np.asarray(targets)
+    B = xs.shape[0]
+    opts = {**_DEFAULT_OPTS, **(opts or {})}
+
+    # IG-family custom fused sweeps
+    if family == "cnn":
+        if name == "ig":
+            return np.asarray(ig_lig_batch(bundle, xs, targets, steps, 1.0,
+                                           dtype))
+        if name == "lig":
+            return np.asarray(ig_lig_batch(bundle, xs, targets, steps, 0.9,
+                                           dtype))
+        if name == "idg":
+            chunk = _fit_chunk(B * steps, min(bundle.meta.batch_size * 2,
+                                              100))
+            return np.asarray(_idg_batch_jit(
+                bundle.apply, bundle.params, jnp.asarray(xs, jnp.float32),
+                jnp.asarray(targets, jnp.int32), steps, chunk))
+        if name == "idgi":
+            chunk = _fit_chunk(B * steps, min(bundle.meta.batch_size * 2,
+                                              100))
+            return np.asarray(_idgi_batch_jit(
+                bundle.apply, bundle.params, jnp.asarray(xs, jnp.float32),
+                jnp.asarray(targets, jnp.int32), steps, chunk))
+        if name == "sg":
+            return np.asarray(sg_batch(bundle, xs, targets,
+                                       jnp.asarray(keys), steps,
+                                       dtype=dtype))
+        if name == "agi":
+            return agi_batch(bundle, trans_imgs)
+
+    make_adapter = _ADAPTERS.get(family)
+    if make_adapter is None:
+        return None
+    adapter = make_adapter(name, bundle, img_hw, steps, opts)
+    if adapter is None:
+        return None
+
+    anchor = bundle.apply
+    fn = _cached_vmapped((family, name), anchor,
+                         (img_hw, steps) + tuple(sorted(opts.items())),
+                         lambda: adapter)
+    if family == "clip":
+        kind = CLIP_EXTRA_KIND[name]
+        if kind == "txt":
+            extra = jnp.asarray(extras["txt_emb"])
+        elif kind == "tok":
+            extra = jnp.asarray(extras["text_tokens"])
+        else:
+            extra = jnp.zeros((B, 1))
+    else:
+        extra = jnp.zeros((B, 1))
+    out = fn(bundle.params, xs, jnp.asarray(targets, jnp.int32),
+             jnp.asarray(keys), extra)
+    return np.asarray(out)

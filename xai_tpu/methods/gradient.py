@@ -92,14 +92,24 @@ _CAST_CACHE: dict = {}
 def _cast_params_cached(bundle, dtype):
     """Low-precision copy of a bundle's params, cast ONCE per (params,
     dtype) — a per-call tree_map over ResNet-50's 25M params costs more
-    than the bf16 sweep saves."""
+    than the bf16 sweep saves.
+
+    The cache entry holds the ORIGINAL params alongside the cast copy:
+    keying by ``id()`` alone is unsafe because a garbage-collected params
+    dict can hand its CPython id to a different model's params (a real
+    hazard in multi-model sweeps), which would silently attribute with the
+    wrong weights.  Holding the reference pins the id AND lets us verify
+    identity on every hit."""
     key = (id(bundle.params), jnp.dtype(dtype).name)
-    if key not in _CAST_CACHE:
-        _CAST_CACHE[key] = jax.tree.map(
-            lambda l: l.astype(dtype) if jnp.issubdtype(l.dtype,
-                                                        jnp.floating) else l,
-            bundle.params)
-    return _CAST_CACHE[key]
+    hit = _CAST_CACHE.get(key)
+    if hit is not None and hit[0] is bundle.params:
+        return hit[1]
+    cast = jax.tree.map(
+        lambda l: l.astype(dtype) if jnp.issubdtype(l.dtype,
+                                                    jnp.floating) else l,
+        bundle.params)
+    _CAST_CACHE[key] = (bundle.params, cast)
+    return cast
 
 
 def ig(bundle, x, target, steps: int = 50, alpha_star: float = 1.0,

@@ -31,7 +31,8 @@ def _segment_reveal(bundle, x, sal2d, segments, mode, blur_fn, chunk=25):
         start, finish = blur_fn(x[None])[0], x
     target = int(jnp.argmax(bundle.logits_fn(bundle.params, x[None])[0]))
     out = reveal_curves(bundle.apply, bundle.params, start, finish, flip,
-                        n_steps, target, chunk=chunk, original_img=x)
+                        n_steps, target, chunk=chunk,
+                        original_at="start" if mode == "del" else "finish")
     return flip, out, n_steps
 
 
@@ -117,7 +118,9 @@ def clean_attribution(bundle, trans_img, x, saliency_3c, iterations: int,
             start, finish = blur_fn(xj[None])[0], xj
         target = int(jnp.argmax(bundle.logits_fn(bundle.params, xj[None])[0]))
         out = reveal_curves(bundle.apply, bundle.params, start, finish,
-                            flip, H, target, chunk=chunk, original_img=xj)
+                            flip, H, target, chunk=chunk,
+                            original_at="start" if mode == "del"
+                            else "finish")
         norm = monotone_normalize(out.target_prob, out.original_pred,
                                   out.baseline_pred, mode)
         dens = density_response(sal2d, flip, H, mode)

@@ -98,7 +98,7 @@ def _prep(bundle, x, sal2d, mode, segments=None, segment_order=None,
                                              jnp.asarray(x)[None])[0]))
     out = reveal_curves(bundle.apply, bundle.params, start, finish, flip,
                         n_steps, target, chunk=chunk,
-                        original_img=jnp.asarray(x))
+                        original_at="start" if mode == "del" else "finish")
     if special_version:
         resp = _special_normalize(out.target_prob, mode)
     else:

@@ -157,7 +157,11 @@ def find_insertion_patches(bundle, x, prior_segmented, segments, blur_fn,
     return np.array(picked), curve
 
 
-_LAST_DEBUG: dict = {}     # introspection for the direct parity tests
+# introspection for interactive debugging: captures intermediate curves only
+# when DEBUG_CAPTURE is flipped on (production runs must not retain the last
+# image's full-resolution buffers or mutate module state under parallelism)
+DEBUG_CAPTURE = False
+_LAST_DEBUG: dict = {}
 
 
 def find_deletion_patches(bundle, x, segments, prior_segmented,
@@ -210,9 +214,11 @@ def find_deletion_patches(bundle, x, segments, prior_segmented,
                     abs(original_pred - black_pred), 0.0, 1.0)
         mn = min(mn, v)
         curve[i] = mn
-    _LAST_DEBUG["stage1_in"] = curve.copy()
+    if DEBUG_CAPTURE:
+        _LAST_DEBUG["stage1_in"] = curve.copy()
     curve = project_curve(curve, "del")
-    _LAST_DEBUG["stage1_out"] = curve.copy()
+    if DEBUG_CAPTURE:
+        _LAST_DEBUG["stage1_out"] = curve.copy()
 
     best_order = list(reversed(worst_segments))
     seg_flat = segments.reshape(-1)
@@ -234,9 +240,10 @@ def find_deletion_patches(bundle, x, segments, prior_segmented,
     desc = pixel_flip_steps(sal_test, H)
     blurred = blur_fn(x[None])[0]
     ins = reveal_curves(bundle.apply, bundle.params, blurred, x, desc, H,
-                        target, chunk=mas_chunk, original_img=x)
+                        target, chunk=mas_chunk, original_at="finish")
     dele = reveal_curves(bundle.apply, bundle.params, x, jnp.zeros_like(x),
-                         desc, H, target, chunk=mas_chunk, original_img=x)
+                         desc, H, target, chunk=mas_chunk,
+                         original_at="start")
     raw_ins = monotone_normalize(ins.target_prob, ins.original_pred,
                                  ins.baseline_pred, "ins")
     raw_del = monotone_normalize(dele.target_prob, dele.original_pred,
@@ -248,9 +255,10 @@ def find_deletion_patches(bundle, x, segments, prior_segmented,
     raw_del = np.interp(x_new, x_old, raw_del)
     new_curve = 1 - np.mean([raw_ins, 1 - raw_del], axis=0)
     curve = project_curve(new_curve, "del")
-    _LAST_DEBUG.update(best_order=best_order, final_curve=curve,
-                       pre_qp_curve=new_curve, raw_ins=raw_ins,
-                       raw_del=raw_del, new_map=new_map)
+    if DEBUG_CAPTURE:
+        _LAST_DEBUG.update(best_order=best_order, final_curve=curve,
+                           pre_qp_curve=new_curve, raw_ins=raw_ins,
+                           raw_del=raw_del, new_map=new_map)
 
     # sparse / dense maps + kappa blending (:564-591)
     sparse = np.zeros(H * H)

@@ -51,7 +51,7 @@ class _RevealMetric:
         chunk = min(max_batch_size, 25)
         out = reveal_curves(self.bundle.apply, self.bundle.params, start,
                             finish, flip, n_steps, target, chunk=chunk,
-                            original_img=img)
+                            original_at="start" if deletion else "finish")
         return out, flip, n_steps
 
 
@@ -96,7 +96,7 @@ class MASMetric(_RevealMetric):
         out = reveal_curves(self.bundle.apply, self.bundle.params, start,
                             finish, flip, n_steps, target,
                             chunk=min(max_batch_size, 25),
-                            original_img=img)
+                            original_at="start" if deletion else "finish")
         return embs, classes, out.target_prob, flip
 
 

@@ -144,12 +144,17 @@ def _battery_device(apply_fn, blur_fn, params, x, desc, asc,
 
 def reveal_curves(apply_fn, params, start, finish, flip_step, n_steps: int,
                   target: int, chunk: int = 25,
-                  original_img=None) -> CurveOutputs:
+                  original_img=None, original_at: str = None) -> CurveOutputs:
     """Run one full reveal pass.
 
     start is the step-0 image; finish is the fully-substituted end state.
-    ``original_img`` (default: whichever of start/finish is the clean input)
-    supplies original_pred; baseline comes from the substituted end.
+    ``original_at`` names which endpoint is the clean input ("start" for a
+    deletion pass, "finish" for insertion); its prediction is read straight
+    off the curve — step 0 is exactly `start` (flip steps are 1-indexed) and
+    step n is exactly `finish` — so no separate forward is needed (an eager
+    bundle.apply here used to cost ~650 ms/pass on the axon tunnel).
+    ``original_img`` remains for callers whose original is NEITHER endpoint
+    (or as a legacy exact-match fallback when ``original_at`` is omitted).
     """
     tp, top1, ent = _curves_device(apply_fn, params, jnp.asarray(start),
                                    jnp.asarray(finish),
@@ -158,30 +163,29 @@ def reveal_curves(apply_fn, params, start, finish, flip_step, n_steps: int,
     tp = np.asarray(tp)
     top1 = np.asarray(top1)
     ent = np.asarray(ent)
-    if original_img is None:
-        raise ValueError("original_img required")
-    # figure out which end is the substituted one: the one that isn't the
-    # original image's curve endpoint. Caller passes direction via flip order;
-    # baseline is always the final state when start==original (deletion) or
-    # the initial state when finish==original (insertion).  The ORIGINAL
-    # image's prediction is the opposite endpoint — step 0 is exactly `start`
-    # (flip steps are 1-indexed) and step n is exactly `finish` — so no
-    # separate forward is needed; an eager bundle.apply here used to cost
-    # ~650 ms/pass on the axon tunnel.
-    if np.allclose(np.asarray(original_img), np.asarray(start)):
+    if original_at is None and original_img is not None:
+        # legacy path: infer the endpoint by EXACT equality (allclose could
+        # misclassify an insertion pass on an image ~equal to its substrate)
+        if np.array_equal(np.asarray(original_img), np.asarray(start)):
+            original_at = "start"
+        elif np.array_equal(np.asarray(original_img), np.asarray(finish)):
+            original_at = "finish"
+    if original_at == "start":
         original_pred = float(tp[0])
         baseline_pred = float(tp[-1])
         baseline_top1 = float(top1[-1])
-    elif np.allclose(np.asarray(original_img), np.asarray(finish)):
+    elif original_at == "finish":
         original_pred = float(tp[-1])
         baseline_pred = float(tp[0])
         baseline_top1 = float(top1[0])
-    else:   # original is neither endpoint (no current caller does this)
+    elif original_img is not None:   # original is neither endpoint
         o_probs = jax.nn.softmax(
             _jit_apply(apply_fn)(params, jnp.asarray(original_img)[None])[0])
         original_pred = float(o_probs[target])
         baseline_pred = float(tp[0])
         baseline_top1 = float(top1[0])
+    else:
+        raise ValueError("pass original_at='start'/'finish' or original_img")
     return CurveOutputs(tp, top1, ent, original_pred, baseline_pred,
                         baseline_top1)
 

@@ -1,7 +1,7 @@
 """Data-parallel metric battery: evaluate many images' reveal curves in one
 jit over the device mesh.
 
-This is the TPU-native form of the reference's 232-run x 1000-image sweep
+This is the TPU-native form of the reference's 217-run x 1000-image sweep (232 reference rows deduplicated)
 (SURVEY §2.14): images shard over the ``data`` mesh axis, every chip runs
 its images' reveal passes locally, and the per-image score vectors gather
 back — zero cross-chip traffic inside the curves, one collective at the

@@ -1,6 +1,6 @@
 """Sharded evaluation / calibration steps over a device mesh.
 
-The framework's unit of large-scale work (the reference's 232-run × 1000-image
+The framework's unit of large-scale work (the reference's 217-run × 1000-image
 sweep, allPertTests.txt) maps to: images sharded over the ``data`` axis,
 model params optionally tensor-parallel over ``model``, metric accumulators
 combined by mean (XLA inserts the psum from output shardings).

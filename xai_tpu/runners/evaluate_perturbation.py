@@ -156,7 +156,7 @@ def build_parser():
     p.add_argument("--dataset_path", type=str, default="../../../ImageNet")
     p.add_argument("--class_maps_dir", type=str, default="")
     p.add_argument("--params_path", type=str, default="",
-                   help="converted pretrained pytree (pickle)")
+                   help="converted pretrained pytree (.npz / .msgpack; .pkl opt-in)")
     p.add_argument("--output_dir", type=str, default="pert_test_results")
     p.add_argument("--synthetic", type=int, default=0,
                    help="use N deterministic synthetic images (no dataset)")

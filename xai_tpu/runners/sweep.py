@@ -143,7 +143,8 @@ def build_parser():
     p = argparse.ArgumentParser("sweep")
     p.add_argument("--drivers", type=str, default="pert",
                    help="comma list of pert,sanity,seg — or 'all' for the "
-                        "full 229-run paper sweep")
+                        "full paper sweep (up to 232 reference rows, "
+                        "deduplicated to the 217 encoded here)")
     p.add_argument("--models", type=str, default="")
     p.add_argument("--methods", type=str, default="",
                    help="comma list overriding the per-model method table")
