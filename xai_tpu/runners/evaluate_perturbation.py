@@ -18,7 +18,9 @@ import time
 
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+from jax.numpy import bfloat16 as jnp_bf16
 
 from ..data import ImageNetValStream, load_correct_mask
 from ..metrics import run_battery
@@ -28,26 +30,64 @@ from .common import (build_bundle, clip_extras, default_blur, image_gates,
                      normalize_input, write_result_csv)
 
 
-def _flush_batch(bundle, batch_buf, blur, result, args):
-    """Score a full image batch with the batched curve engine (2.5x the
-    sequential path even on one chip; shards over the mesh when more
-    devices are present)."""
+def _batch_attribute(bundle, family, pend, args, maps_writer=None):
+    """Attribute a full pending batch with ONE fused dispatch when the
+    method has a batched implementation (methods/batch.py — the ig_batch
+    pattern generalized); falls back to the per-image registry path
+    otherwise.  Returns ([B, H, W] saliencies, seconds)."""
+    from ..methods.batch import batch_attribution
+
+    t = time.time()
+    xs = np.stack([p["x"] for p in pend])
+    trans = np.stack([p["trans_img"] for p in pend])
+    targets = np.array([p["target"] for p in pend])
+    keys = np.stack([np.asarray(p["key"]) for p in pend])
+    extras = None
+    if family == "clip":
+        extras = {
+            "txt_emb": np.stack([p["extras"]["txt_emb"][0] for p in pend]),
+        }
+        if "text_tokens" in pend[0]["extras"]:
+            extras["text_tokens"] = np.stack(
+                [p["extras"]["text_tokens"][0] for p in pend])
+    dtype = {"bf16": jnp_bf16, "f32": None}[args.attr_dtype]
+    sals = batch_attribution(family, args.attr_func, bundle, xs, trans,
+                             targets, keys, extras=extras,
+                             img_hw=bundle.meta.img_hw, dtype=dtype)
+    if sals is None:        # no batched impl: per-image fused path
+        sals = np.stack([
+            get_attribution(family, args.attr_func, AttrContext(
+                bundle=bundle, x=jnp.asarray(p["x"]),
+                trans_img=p["trans_img"], target=p["target"], key=p["key"],
+                img_hw=bundle.meta.img_hw, extras=p["extras"]))
+            for p in pend])
+    dt = time.time() - t
+    if maps_writer is not None:
+        for p, s in zip(pend, sals):
+            maps_writer(p, s)
+    return sals, dt
+
+
+def _flush_batch(bundle, family, pend, blur, result, args, maps_writer=None):
+    """Batched attribution + batched curve engine for a full image batch
+    (one fused attribution dispatch; battery shards over the mesh when
+    more devices are present).  Returns attribution seconds."""
     from ..parallel.mesh import make_mesh
     from ..parallel.sharded_battery import sharded_battery_scores
-    import jax
 
+    sals, attr_dt = _batch_attribute(bundle, family, pend, args, maps_writer)
     mesh = make_mesh(model_axis=1)    # all devices; battery pads-and-masks
-    imgs = np.stack([b[0] for b in batch_buf])
-    sals = np.stack([b[1] for b in batch_buf])
-    targets = np.array([b[3] for b in batch_buf])
+    imgs = np.stack([p["x"] for p in pend])
+    targets = np.array([p["target"] for p in pend])
     all_scores = sharded_battery_scores(bundle, mesh, imgs, sals, blur,
                                         chunk=45, targets=targets)
-    for (_, _, name, _), scores in zip(batch_buf, all_scores):
+    for p, scores in zip(pend, all_scores):
         for k, v in scores.items():
             result[k] = result.get(k, 0.0) + v
         if args.verbose:
-            print(f"[batch] {name} MAS_ins={scores['MAS_ins']:.4f}")
-    batch_buf.clear()
+            print(f"[batch] {p['name']} MAS_ins={scores['MAS_ins']:.4f}")
+    pend.clear()
+    return attr_dt
 
 
 def evaluate_perturbation(args) -> dict:
@@ -90,14 +130,12 @@ def evaluate_perturbation(args) -> dict:
         # CLIP: target prompt embedding + real BPE token ids for the probed
         # methods (evaluatePerturbation.py:388, 698-704)
         extras = clip_extras(bundle, target) if family == "clip" else None
-        ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
-                          target=target, key=key, img_hw=bundle.meta.img_hw,
-                          extras=extras)
-        t = time.time()
-        saliency = get_attribution(family, args.attr_func, ctx)
-        attr_time += time.time() - t
 
-        if args.save_maps:
+        def write_map(saliency, name=item.name, target=target,
+                      original_pred=original_pred):
+            nonlocal maps_store
+            if not args.save_maps:
+                return
             if maps_store is None:
                 from ..data.voc import ExplanationsHDF5
                 os.makedirs(args.output_dir, exist_ok=True)
@@ -105,15 +143,31 @@ def evaluate_perturbation(args) -> dict:
                     os.path.join(args.output_dir,
                                  f"{args.model}_{args.attr_func}_maps.h5"),
                     mode="w")
-            maps_store.write(item.name, saliency, target=target,
+            maps_store.write(name, saliency, target=target,
                              original_pred=original_pred)
 
         if args.image_batch > 1:
-            batch_buf.append((np.asarray(x), saliency, item.name, target))
+            # batched production path: attribution AND battery both run one
+            # fused dispatch per --image_batch images
+            batch_buf.append({"x": np.asarray(x),
+                              "trans_img": np.asarray(item.trans_img),
+                              "name": item.name, "target": target,
+                              "key": key, "extras": extras,
+                              "write_map": write_map})
             images_used += 1
             if len(batch_buf) == args.image_batch:
-                _flush_batch(bundle, batch_buf, blur, result, args)
+                attr_time += _flush_batch(
+                    bundle, family, batch_buf, blur, result, args,
+                    maps_writer=lambda p, s: p["write_map"](s))
             continue
+
+        ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
+                          target=target, key=key, img_hw=bundle.meta.img_hw,
+                          extras=extras)
+        t = time.time()
+        saliency = get_attribution(family, args.attr_func, ctx)
+        attr_time += time.time() - t
+        write_map(saliency)
 
         scores = run_battery(bundle.apply, bundle.params, np.asarray(x),
                              saliency, blur, chunk=45, target=target)
@@ -128,9 +182,17 @@ def evaluate_perturbation(args) -> dict:
         # score the leftover partial batch one image at a time (the batched
         # path needs a full, shape-stable batch); pass the stored target
         # explicitly so this path can never diverge from the batched one
-        for bx, bsal, _, btarget in batch_buf:
-            scores = run_battery(bundle.apply, bundle.params, bx, bsal,
-                                 blur, chunk=45, target=btarget)
+        for p in batch_buf:
+            ctx = AttrContext(bundle=bundle, x=jnp.asarray(p["x"]),
+                              trans_img=p["trans_img"], target=p["target"],
+                              key=p["key"], img_hw=bundle.meta.img_hw,
+                              extras=p["extras"])
+            t = time.time()
+            bsal = get_attribution(family, args.attr_func, ctx)
+            attr_time += time.time() - t
+            p["write_map"](bsal)
+            scores = run_battery(bundle.apply, bundle.params, p["x"], bsal,
+                                 blur, chunk=45, target=p["target"])
             for k, v in scores.items():
                 result[k] = result.get(k, 0.0) + v
         batch_buf.clear()
@@ -165,9 +227,15 @@ def build_parser():
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of the run here")
     p.add_argument("--image_batch", type=int, default=1,
-                   help="score the metric battery for N images per device "
-                        "call (2.5x sequential on one chip; shards over "
-                        "all devices when N is a multiple of the count)")
+                   help="attribute AND score N images per device call (one "
+                        "fused dispatch each; shards over all devices when "
+                        "N is a multiple of the count)")
+    p.add_argument("--attr_dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="precision of the batched attribution sweep; bf16 "
+                        "runs the fwd+VJP on the bf16 MXU path (~2x) with "
+                        "f32 Riemann accumulation — rank-stable vs f32 "
+                        "(tests/test_batch_attr.py)")
     p.add_argument("--save_maps", action="store_true",
                    help="dump every attribution map to an HDF5 store "
                         "(the golden-parity workflow, BASELINE.md)")
