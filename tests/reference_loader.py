@@ -14,6 +14,7 @@ layers because ViT_new_timm composes them into the forward math.
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 import types
 
@@ -463,3 +464,77 @@ def load_util_module(dotted: str):
         sys.path.remove(REF)
     _cache[dotted] = mod
     return mod
+
+
+def load_evaluate_perturbation(workdir: str):
+    """Import the reference's FLAGSHIP DRIVER MODULE itself
+    (XAI_Survey/evaluations/evaluatePerturbation.py) for driver-vs-driver
+    wiring parity (gate order, per-class quota, Counter accumulation, CSV
+    layout).
+
+    ``workdir`` must mimic the reference layout: it becomes the cwd for the
+    import AND must stay the cwd for evaluate_perturbation() calls —
+    the module reads ``../../util/class_maps/ImageNet/*`` relative to cwd
+    at import and run time, and writes ``pert_test_results/`` into cwd.
+    Use :func:`make_driver_sandbox` to build it.
+    """
+    name = "_ref_eval_pert"
+    if name in _cache:
+        return _cache[name]
+    _install_stubs()
+    import torch.nn as nn
+
+    # extra stubs only this module's import chain needs
+    tvm = sys.modules["torchvision.models"]
+    if not hasattr(tvm, "VisionTransformer"):
+        tvm.VisionTransformer = type("VisionTransformer", (nn.Module,), {})
+    if "timm.models.vision_transformer" not in sys.modules:
+        vt = _mod("timm.models.vision_transformer")
+        vt.VisionTransformer = type("TimmVIT", (nn.Module,), {})
+        sys.modules["timm.models"].vision_transformer = vt
+        sys.modules["timm.models"].__path__ = []
+    if "captum" not in sys.modules:
+        cap = _mod("captum")
+        cap.attr = _mod(
+            "captum.attr",
+            **{n: _unavailable_cls(f"captum.{n}") for n in
+               ("GuidedBackprop", "LayerGradCam", "GradientShap",
+                "GuidedGradCam", "FeatureAblation", "Occlusion",
+                "ShapleyValueSampling")})
+    if "clip" not in sys.modules:
+        _mod("clip", tokenize=_unavailable("clip.tokenize"),
+             load=_unavailable("clip.load"))
+
+    sys.path.insert(0, REF)
+    old = os.getcwd()
+    os.chdir(workdir)
+    try:
+        mod = load_ref("XAI_Survey/evaluations/evaluatePerturbation.py",
+                       name)
+    finally:
+        os.chdir(old)
+        sys.path.remove(REF)
+    return mod
+
+
+def make_driver_sandbox(tmp_path, model_name: str = "R50"):
+    """Create the relative-path layout evaluatePerturbation.py expects:
+    <tmp>/XAI_Survey/evaluations (the cwd) and
+    <tmp>/util/class_maps/ImageNet with the three import-time text files
+    (symlinked read-only from the reference) plus an all-ones
+    correctly_classified_<model>.txt.  Returns the cwd path."""
+    import numpy as np
+
+    cwd = os.path.join(str(tmp_path), "XAI_Survey", "evaluations")
+    maps = os.path.join(str(tmp_path), "util", "class_maps", "ImageNet")
+    os.makedirs(cwd, exist_ok=True)
+    os.makedirs(maps, exist_ok=True)
+    for f in ("ILSVRC2012_validation_ground_truth.txt", "map_clsloc.txt",
+              "imagenet_classes.txt"):
+        dst = os.path.join(maps, f)
+        if not os.path.exists(dst):
+            os.symlink(f"{REF}/util/class_maps/ImageNet/{f}", dst)
+    np.savetxt(os.path.join(maps,
+                            f"correctly_classified_{model_name}.txt"),
+               np.ones(50000, np.int64), fmt="%d")
+    return cwd

@@ -1,0 +1,176 @@
+"""End-to-end driver-vs-driver golden parity (VERDICT r2 item 3).
+
+Runs the reference's OWN evaluatePerturbation.py composition — its real
+``evaluate_perturbation`` loop with its real metric objects, gates,
+per-class quota and Counter/CSV plumbing — against our
+``runners/evaluate_perturbation.py`` on SHARED converted weights over the
+same fixed synthetic image directory, then asserts the result CSVs agree
+row for row.
+
+Model: a 1-block-per-stage torchvision-convention ResNet (torch twin ->
+convert.resnet_from_torch -> our TINY_R bundle) at 64px so the full-shape
+loop (50-step IG, 65-step reveal curves, 31-tap blur) runs in CI time.
+
+Known, documented divergence: the reference accumulates scores in a
+``collections.Counter`` whose ``+=`` silently drops keys when the running
+sum goes <= 0; we keep every column.  The comparison therefore iterates
+the REFERENCE csv's keys (ours is a superset).
+"""
+import csv
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from reference_loader import load_evaluate_perturbation, make_driver_sandbox
+from torch_oracles import TorchResNet
+
+HW = 64
+N_IMAGES = 10      # on-disk pool; both drivers apply their own gates
+COUNT = 4          # requested image_count
+
+
+def _write_images(img_dir):
+    from PIL import Image
+    os.makedirs(img_dir, exist_ok=True)
+    rs = np.random.RandomState(7)
+    for i in range(N_IMAGES):
+        arr = (rs.rand(HW, HW, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(
+            os.path.join(img_dir, f"ILSVRC2012_val_{i + 1:08d}.JPEG"),
+            format="JPEG", quality=95)
+
+
+def _read_csv(path):
+    with open(path) as f:
+        return {row[0]: row[1] for row in csv.reader(f) if row}
+
+
+@pytest.fixture(scope="module")
+def shared_model(tmp_path_factory):
+    from xai_tpu.convert.torch_import import resnet_from_torch
+    from xai_tpu.runners.common import save_params
+
+    torch.manual_seed(11)
+    tm = TorchResNet(layers=(1, 1, 1, 1)).eval()
+    params = resnet_from_torch(tm.state_dict(), (1, 1, 1, 1))
+    pdir = tmp_path_factory.mktemp("params")
+    ppath = save_params(params, str(pdir / "tiny_r.msgpack"))
+    return tm, ppath
+
+
+def test_driver_csv_parity(tmp_path, shared_model):
+    tm, ppath = shared_model
+    img_dir = str(tmp_path / "images")
+    _write_images(img_dir)
+
+    # --- reference driver (its own module, its own loop) ---
+    cwd = make_driver_sandbox(tmp_path, "R50")
+    mod = load_evaluate_perturbation(cwd)
+
+    from xai_tpu.ops.preprocess import center_crop_resize, IMAGENET_MEAN, \
+        IMAGENET_STD
+
+    mean = torch.tensor(IMAGENET_MEAN).view(3, 1, 1)
+    std = torch.tensor(IMAGENET_STD).view(3, 1, 1)
+
+    def transform(pil):
+        return torch.from_numpy(
+            np.ascontiguousarray(center_crop_resize(pil, HW)
+                                 .transpose(2, 0, 1)))
+
+    testing_dict = {
+        "models": [tm, tm],
+        "transform": transform,
+        "normalize": lambda t: (t - mean) / std,
+        "img_hw": HW,
+        "batch_size": 50,
+        "device": "cpu",
+        "attr_func": "ig",
+        "model_name": "R50",
+        "image_count": COUNT,
+        "imagenet_dataset": img_dir,
+    }
+    old = os.getcwd()
+    os.chdir(cwd)
+    try:
+        mod.evaluate_perturbation(testing_dict)
+    finally:
+        os.chdir(old)
+    ref_csv = _read_csv(
+        os.path.join(cwd, "pert_test_results", "R50",
+                     f"ig_{COUNT}_images.csv"))
+
+    # --- our driver on the same weights + images ---
+    from xai_tpu.runners.evaluate_perturbation import (build_parser,
+                                                       evaluate_perturbation)
+
+    out_dir = str(tmp_path / "ours")
+    args = build_parser().parse_args([
+        "--model", "TINY_R", "--attr_func", "ig",
+        "--image_count", str(COUNT), "--dataset_path", img_dir,
+        "--params_path", ppath, "--output_dir", out_dir,
+    ])
+    evaluate_perturbation(args)
+    our_csv = _read_csv(
+        os.path.join(out_dir, "TINY_R", f"ig_{COUNT}_images.csv"))
+
+    score_keys = [k for k in ref_csv
+                  if k not in ("Attr Avg Runtime", "Total Runtime")]
+    assert score_keys, "reference driver scored no images (gates ate all)"
+    for k in score_keys:
+        ref_v = float(ref_csv[k])
+        got_v = float(our_csv[k])
+        assert abs(ref_v - got_v) < 2e-3, (k, ref_v, got_v)
+    # our CSV always carries all 10 columns (Counter never drops ours)
+    assert sum(1 for k in our_csv
+               if k not in ("Attr Avg Runtime", "Total Runtime")) == 10
+
+
+def test_driver_csv_parity_batched(tmp_path, shared_model):
+    """The --image_batch fused path must land on the same CSV too."""
+    tm, ppath = shared_model
+    img_dir = str(tmp_path / "images")
+    _write_images(img_dir)
+
+    cwd = make_driver_sandbox(tmp_path, "R50")
+    mod = load_evaluate_perturbation(cwd)
+    from xai_tpu.ops.preprocess import center_crop_resize, IMAGENET_MEAN, \
+        IMAGENET_STD
+    mean = torch.tensor(IMAGENET_MEAN).view(3, 1, 1)
+    std = torch.tensor(IMAGENET_STD).view(3, 1, 1)
+    testing_dict = {
+        "models": [tm, tm],
+        "transform": lambda pil: torch.from_numpy(np.ascontiguousarray(
+            center_crop_resize(pil, HW).transpose(2, 0, 1))),
+        "normalize": lambda t: (t - mean) / std,
+        "img_hw": HW, "batch_size": 50, "device": "cpu",
+        "attr_func": "ig", "model_name": "R50",
+        "image_count": COUNT, "imagenet_dataset": img_dir,
+    }
+    old = os.getcwd()
+    os.chdir(cwd)
+    try:
+        mod.evaluate_perturbation(testing_dict)
+    finally:
+        os.chdir(old)
+    ref_csv = _read_csv(os.path.join(
+        cwd, "pert_test_results", "R50", f"ig_{COUNT}_images.csv"))
+
+    from xai_tpu.runners.evaluate_perturbation import (build_parser,
+                                                       evaluate_perturbation)
+    out_dir = str(tmp_path / "ours_batched")
+    args = build_parser().parse_args([
+        "--model", "TINY_R", "--attr_func", "ig",
+        "--image_count", str(COUNT), "--dataset_path", img_dir,
+        "--params_path", ppath, "--output_dir", out_dir,
+        "--image_batch", "2",
+    ])
+    evaluate_perturbation(args)
+    our_csv = _read_csv(
+        os.path.join(out_dir, "TINY_R", f"ig_{COUNT}_images.csv"))
+    for k in ref_csv:
+        if k in ("Attr Avg Runtime", "Total Runtime"):
+            continue
+        assert abs(float(ref_csv[k]) - float(our_csv[k])) < 2e-3, k

@@ -26,6 +26,10 @@ MODEL_TABLE = {
     # test-sized models (1-block-per-stage ResNet / depth-2 ViT) for fast
     # CI runs of the full driver paths
     "TINY_CNN": ("cnn", 50), "TINY_VIT": ("vit", 25),
+    # 1-block-per-stage ResNet at 64px, weight-convertible from a torch
+    # twin — the driver-vs-driver golden-parity model
+    # (tests/test_driver_csv_parity.py)
+    "TINY_R": ("cnn", 50),
 }
 
 
@@ -48,6 +52,25 @@ def build_bundle(model_name: str, params_path: Optional[str] = None,
         b = resnet.make_bundle("resnet50", params=p, batch_size=batch)
         b = dataclasses.replace(
             b, apply=lambda pp, x: model.apply({"params": pp}, x),
+            apply_taps=lambda pp, x: model.apply({"params": pp}, x,
+                                                 taps=True),
+            apply_probed=lambda pp, x, pr: model.apply(
+                {"params": pp}, x, taps=True, probes=pr),
+            extras={"model": model})
+    elif model_name == "TINY_R":
+        import dataclasses
+
+        from ..models.common import init_on_cpu, ModelMeta
+
+        model = resnet.ResNet(layers=(1, 1, 1, 1))
+        p = init_on_cpu(lambda: model.init(
+            key, jnp.zeros((1, 64, 64, 3)))["params"])
+        b = resnet.make_bundle("resnet50", params=p, batch_size=batch)
+        b = dataclasses.replace(
+            b,
+            meta=ModelMeta(name="TINY_R", family="cnn", img_hw=64,
+                           batch_size=batch),
+            apply=lambda pp, x: model.apply({"params": pp}, x),
             apply_taps=lambda pp, x: model.apply({"params": pp}, x,
                                                  taps=True),
             apply_probed=lambda pp, x, pr: model.apply(

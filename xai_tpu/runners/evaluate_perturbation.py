@@ -102,7 +102,9 @@ def evaluate_perturbation(args) -> dict:
     images_per_class = int(np.ceil(args.image_count / num_classes))
     classes_used = [0] * num_classes
 
-    stream = ImageNetValStream(args.dataset_path, synthetic=args.synthetic)
+    stream = ImageNetValStream(args.dataset_path,
+                               img_hw=bundle.meta.img_hw,
+                               synthetic=args.synthetic)
     # plain-dict accumulation: the reference's `Counter +=` silently drops
     # keys whose running sum is <= 0 (collections.Counter semantics); we keep
     # every metric column
