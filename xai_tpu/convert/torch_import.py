@@ -301,3 +301,54 @@ def vit_from_torch(sd, depth: int = 12) -> dict:
                         "bias": _np(sd[f"{t}.mlp.fc2.bias"])},
         }
     return params
+
+
+def clip_from_hf(sd, vision_layers: int = 12, text_layers: int = 12
+                 ) -> dict:
+    """Convert a HuggingFace ``transformers.CLIPModel`` state dict.
+
+    Maps the HF naming (vision_model.encoder.layers.N.self_attn.q/k/v_proj,
+    visual_projection, pre_layrnorm [sic]) onto the openai-CLIP layout and
+    reuses :func:`clip_from_torch`.  Enables loading HF CLIP checkpoints and
+    feeds the M2IB direct-parity oracle (the reference's M2IB operates on a
+    HF ClipWrapper — M2IB/scripts/methods.py:46-52)."""
+    import torch
+
+    oa = {}
+
+    def blk(dst, src, n):
+        for i in range(n):
+            d, s = f"{dst}.{i}", f"{src}.{i}"
+            for part in ("weight", "bias"):
+                oa[f"{d}.attn.in_proj_{part}"] = torch.cat(
+                    [sd[f"{s}.self_attn.q_proj.{part}"],
+                     sd[f"{s}.self_attn.k_proj.{part}"],
+                     sd[f"{s}.self_attn.v_proj.{part}"]])
+                oa[f"{d}.attn.out_proj.{part}"] = \
+                    sd[f"{s}.self_attn.out_proj.{part}"]
+                oa[f"{d}.ln_1.{part}"] = sd[f"{s}.layer_norm1.{part}"]
+                oa[f"{d}.ln_2.{part}"] = sd[f"{s}.layer_norm2.{part}"]
+                oa[f"{d}.mlp.c_fc.{part}"] = sd[f"{s}.mlp.fc1.{part}"]
+                oa[f"{d}.mlp.c_proj.{part}"] = sd[f"{s}.mlp.fc2.{part}"]
+
+    v = "vision_model"
+    oa["visual.conv1.weight"] = sd[f"{v}.embeddings.patch_embedding.weight"]
+    oa["visual.class_embedding"] = sd[f"{v}.embeddings.class_embedding"]
+    oa["visual.positional_embedding"] = \
+        sd[f"{v}.embeddings.position_embedding.weight"]
+    for part in ("weight", "bias"):
+        oa[f"visual.ln_pre.{part}"] = sd[f"{v}.pre_layrnorm.{part}"]
+        oa[f"visual.ln_post.{part}"] = sd[f"{v}.post_layernorm.{part}"]
+        oa[f"ln_final.{part}"] = sd[f"text_model.final_layer_norm.{part}"]
+    blk("visual.transformer.resblocks", f"{v}.encoder.layers", vision_layers)
+    oa["visual.proj"] = sd["visual_projection.weight"].t()
+
+    t = "text_model"
+    oa["token_embedding.weight"] = \
+        sd[f"{t}.embeddings.token_embedding.weight"]
+    oa["positional_embedding"] = \
+        sd[f"{t}.embeddings.position_embedding.weight"]
+    blk("transformer.resblocks", f"{t}.encoder.layers", text_layers)
+    oa["text_projection"] = sd["text_projection.weight"].t()
+    oa["logit_scale"] = sd["logit_scale"]
+    return clip_from_torch(oa, vision_layers, text_layers)

@@ -46,8 +46,15 @@ def _visual_suffix(cfg, params, h, start_block):
 
 def vision_heatmap_iba(bundle, x, txt_emb, vlayer: int = 9,
                        beta: float = 0.1, steps: int = 10, lr: float = 1.0,
-                       batch_size: int = 10, key=None) -> np.ndarray:
-    """m2ib_clip_map equivalent. Returns the minmax-normalized [H, W] map."""
+                       batch_size: int = 10, key=None, noises=None,
+                       out_hw: int = None) -> np.ndarray:
+    """m2ib_clip_map equivalent. Returns the minmax-normalized [H, W] map.
+
+    ``noises`` ([steps, batch_size, N, W]) injects the per-step bottleneck
+    eps draws — the torch-RNG-capture oracle pattern
+    (tests/test_reference_parity_m2ib.py); default fresh jax PRNG samples.
+    ``out_hw`` sets the upsample size (the reference hardcodes 224,
+    iba.py:155; default: the input's resolution)."""
     x = jnp.asarray(x)
     if x.ndim == 3:
         x = x[None]
@@ -57,19 +64,27 @@ def vision_heatmap_iba(bundle, x, txt_emb, vlayer: int = 9,
     txt = jnp.asarray(txt_emb)
     if txt.ndim == 1:
         txt = txt[None]
+    out_hw = out_hw or x.shape[1]
+    if noises is None:
+        h_shape = (cfg.tokens, cfg.vision_width)
+        keys = jax.random.split(key, steps)
+        noises = jax.vmap(lambda k: jax.random.normal(
+            k, (batch_size,) + h_shape))(keys)
 
-    up = np.asarray(_iba_jit(model, cfg, vlayer, steps, batch_size, beta,
-                             lr, x.shape[1], bundle.params, x, txt, key))
+    up = np.asarray(_iba_jit(model, cfg, vlayer, steps, beta,
+                             lr, out_hw, bundle.params, x, txt,
+                             jnp.asarray(noises)))
     return (up - up.min()) / (up.max() - up.min())
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
-def _iba_jit(model, cfg, vlayer, steps, batch_size, beta, lr, hw, params,
-             x, txt, key):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _iba_jit(model, cfg, vlayer, steps, beta, lr, hw, params, x, txt,
+             noises):
     """The whole IBA optimization as one dispatch: prefix encode, a
     lax.scan of `steps` Adam updates on the bottleneck, saliency from the
-    final capacity.  The previous form re-traced a closure-jitted step on
-    EVERY image (and ran 10 separate dispatches per image)."""
+    capacity of the LAST forward — i.e. the alpha before the final update,
+    exactly what the reference's buffer_capacity retains after its loop
+    (iba.py:180-188: forward -> backward -> step, buffer from the forward)."""
     h = _visual_prefix(model, cfg, params, x, vlayer + 1)         # [1,N,W]
     alpha0 = jnp.full((1,) + h.shape[1:], 5.0)
     opt = optax.adam(lr)
@@ -79,10 +94,9 @@ def _iba_jit(model, cfg, vlayer, steps, batch_size, beta, lr, hw, params,
         var = (1 - lam) ** 2
         return -0.5 * (1 + jnp.log(var) - mu ** 2 - var)
 
-    def loss_fn(a, k):
+    def loss_fn(a, eps):
         lam = jax.nn.sigmoid(a)
         cap = capacity(lam)
-        eps = jax.random.normal(k, (batch_size,) + h.shape[1:])
         t = h * lam + (1 - lam) * eps
         emb = _visual_suffix(cfg, params, t, vlayer + 1)
         emb_n = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
@@ -90,17 +104,16 @@ def _iba_jit(model, cfg, vlayer, steps, batch_size, beta, lr, hw, params,
         fitting = (emb_n * txt_n).sum(-1).mean()
         return beta * cap.mean() - fitting
 
-    def step(carry, k):
+    def step(carry, eps):
         alpha, opt_state = carry
-        g = jax.grad(loss_fn)(alpha, k)
+        cap_fwd = capacity(jax.nn.sigmoid(alpha))   # this forward's buffer
+        g = jax.grad(loss_fn)(alpha, eps)
         updates, opt_state = opt.update(g, opt_state)
-        return (optax.apply_updates(alpha, updates), opt_state), None
+        return (optax.apply_updates(alpha, updates), opt_state), cap_fwd
 
-    keys = jax.random.split(key, steps)
-    (alpha, _), _ = jax.lax.scan(step, (alpha0, opt.init(alpha0)), keys)
+    (_, _), caps = jax.lax.scan(step, (alpha0, opt.init(alpha0)), noises)
 
-    lam = jax.nn.sigmoid(alpha)
-    cap = capacity(lam)[0]                         # [N, W]
+    cap = caps[-1][0]                              # [N, W]
     sal = jnp.nan_to_num(cap).sum(-1)[1:]          # drop CLS
     p = cfg.grid
     sal = sal.reshape(1, p, p)
