@@ -62,8 +62,13 @@ def _token_drop_scores(apply_tokens, params, x, indices, chunk, target):
 
 def tis(bundle, x, target=None, n_masks: int = 1024,
         tokens_ratio: float = 0.5, batch_size: int = 64,
-        key=None, normalise: bool = True) -> jnp.ndarray:
-    """Returns the [P, P] token saliency map (TIS.__call__)."""
+        key=None, normalise: bool = True, centroids=None) -> jnp.ndarray:
+    """Returns the [P, P] token saliency map (TIS.__call__).
+
+    ``centroids`` ([n_masks, n_tokens]) bypasses the on-device KMeans —
+    the shared-centroid oracle pattern (tests/test_reference_parity_tis.py;
+    kmeans outputs aren't comparable across libraries, everything after
+    them is)."""
     x = jnp.asarray(x)
     if x.ndim == 3:
         x = x[None]
@@ -81,7 +86,10 @@ def tis(bundle, x, target=None, n_masks: int = 1024,
     acts = acts[1:].T                               # [L*D, n_tokens]
 
     n_tokens_total = acts.shape[1]
-    centroids = kmeans(acts, key, n_masks)          # [n_masks, n_tokens]
+    if centroids is None:
+        centroids = kmeans(acts, key, n_masks)      # [n_masks, n_tokens]
+    else:
+        centroids = jnp.asarray(centroids)
 
     k = int(tokens_ratio * n_tokens_total)
     top = jax.lax.top_k(centroids, k)[1]            # [n_masks, k] indices
