@@ -1,23 +1,32 @@
-"""Benchmark suite: headline ResNet-50 IG-50 attributions/sec on one chip,
-plus the broader surface (blocked IG, SmoothGrad device sweep, ViT rollout /
-bi_attn, CLIP eclip, full metric battery) so round-over-round regressions
-anywhere are visible.
+"""Benchmark suite covering the whole method surface (~30 rows), so
+round-over-round regressions anywhere are driver-visible (VERDICT r2 #5).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
-The headline keys keep the round-1 contract; "extras" is a list of
-{metric, value, unit} dicts.
+The headline key keeps the round-1 contract (ResNet-50 IG-50 f32
+attributions/sec); the bf16 fused sweep is the production operating point
+(--attr_dtype bf16) and gets its own rows + MFU.  Also writes
+BENCH_TABLE.md (the BASELINE.md method table is generated from this
+artifact, not hand-measured).
 
 Baseline protocol: the reference implementation's own IG loop
 (saliencyMethods.py:13-72, steps=50 batch=50) run with torch on THIS
 machine's CPU (the reference's non-CUDA fallback), measured at
 29.64 s/attribution on 2026-08-16 (see BASELINE.md).  vs_baseline =
-value / (1 / 29.64).  For context, the same math on a datacenter GPU is
-roughly 1-3 attr/s; the headline number is pipelined (the drivers enqueue
-per-image work back-to-back); the blocked variant hard-syncs per map.
+value / (1 / 29.64).
+
+Roofline context (measured 2026-08-17, one v5e chip): the bf16 fwd+VJP
+itself saturates at ~48 TFLOP/s effective (chunk 100-200, input-gradient-
+only backward on NHWC ResNet-50 @224) => the IG-50 sweep ceiling is
+~78 attr/s blocked; the fused batch path reaches ~79-83 attr/s = at the
+compiled op's roofline.  The remaining gap to the 197 TFLOP/s MXU peak
+lives inside XLA's conv dX kernels (small-C early convs, stride-2
+transposes), not in dispatch or orchestration.
 """
 import json
+import os
 import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -26,13 +35,34 @@ BASELINE_ATTR_PER_SEC = 1.0 / MEASURED_TORCH_CPU_SECONDS_PER_ATTR
 
 # MFU accounting for the IG sweep: ResNet-50 fwd ~4.1 GFLOP @224, VJP ~2x,
 # 50 interpolation steps -> ~615 GFLOP per attribution; v5e fp32 peak
-# ~48 TFLOP/s (BASELINE.md roofline note).
+# ~48 TFLOP/s, bf16 peak ~197 TFLOP/s.
 IG50_FLOP = 50 * 3 * 4.1e9
 V5E_F32_PEAK = 48e12
+V5E_BF16_PEAK = 197e12
+
+EXTRAS = []
+
+# wall-clock budget: the tunnel's compile service is erratic (each fresh
+# jit signature 20-200s); rows are ordered required-first and the guard
+# stops ADDING rows when the budget is spent so the JSON line always lands
+_T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+_SKIPPED = []
+
+
+def budget_ok(name):
+    if time.time() - _T0 < BUDGET_S:
+        return True
+    _SKIPPED.append(name)
+    return False
+
+
+def row(metric, value, unit="attr/s/chip"):
+    EXTRAS.append({"metric": metric, "value": round(float(value), 3),
+                   "unit": unit})
 
 
 def _pipelined(fn, n, depth=4):
-    """Steady-state pipelined rate: enqueue, keep `depth` in flight."""
     t0 = time.perf_counter()
     inflight = []
     for i in range(n):
@@ -47,146 +77,335 @@ def _pipelined(fn, n, depth=4):
 def _blocked(fn, n):
     t0 = time.perf_counter()
     for i in range(n):
-        fn(i).block_until_ready()
+        r = fn(i)
+        if hasattr(r, "block_until_ready"):
+            r.block_until_ready()
     return n / (time.perf_counter() - t0)
 
 
-def bench_resnet_ig(extras):
+def _host_rate(fn, n):
+    """For host-returning (numpy) methods."""
+    t0 = time.perf_counter()
+    for i in range(n):
+        fn(i)
+    return n / (time.perf_counter() - t0)
+
+
+def bench_resnet(extras):
+    from xai_tpu.methods import batch as BT
     from xai_tpu.methods import gradient as G
     from xai_tpu.models import resnet
 
     bundle = resnet.make_bundle("resnet50")
     imgs = jax.random.normal(jax.random.PRNGKey(0), (8, 224, 224, 3),
                              jnp.float32)
+    imgs01 = jax.nn.sigmoid(imgs)     # [0,1] for AGI
     targets = jnp.arange(8) % 1000
+    keys = np.stack([np.asarray(jax.random.fold_in(jax.random.PRNGKey(0),
+                                                   i)) for i in range(8)])
 
-    # headline: batch-4 sweeps in one dispatch (math identical to the
-    # per-image form; single-image dispatches leave pipeline bubbles the
-    # tunnel RTT can't fill)
+    # headline: batch-4 f32 fused sweeps (round-1 metric contract)
     B = 4
     igb = lambda i: G.ig_batch(bundle, imgs[:B], targets[:B], steps=50,
-                               chunk=50)
-    igb(0).block_until_ready()                      # compile
+                               chunk=100)
+    igb(0).block_until_ready()
     rate = _pipelined(igb, 12) * B
+    row("resnet50_ig50_mfu_f32", rate * IG50_FLOP / V5E_F32_PEAK,
+        "fraction of 48 TFLOP/s")
 
     ig1 = lambda i: G.ig(bundle, imgs[i % 8], i % 1000, steps=50, chunk=50)
     ig1(0).block_until_ready()
-    extras.append({"metric": "resnet50_ig50_single_attr_per_sec",
-                   "value": round(_pipelined(ig1, 48), 3),
-                   "unit": "attr/s/chip"})
-    extras.append({"metric": "resnet50_ig50_attr_per_sec_blocked",
-                   "value": round(_blocked(ig1, 16), 3),
-                   "unit": "attr/s/chip"})
+    row("resnet50_ig50_single_attr_per_sec", _pipelined(ig1, 24))
+    row("resnet50_ig50_attr_per_sec_blocked", _blocked(ig1, 8))
 
-    # bf16 sweep (f32 Riemann mean + x-product): ~2x at batch 4 on v5e
-    igb16 = lambda i: G.ig_batch(bundle, imgs[:B], targets[:B], steps=50,
-                                 chunk=50, dtype=jnp.bfloat16)
+    # bf16 PRODUCTION operating point: batch-8, chunk-100 fused sweep
+    # (measured op roofline ~78 attr/s; see module docstring)
+    B16 = 8
+    igb16 = lambda i: G.ig_batch(bundle, imgs[:B16], targets[:B16],
+                                 steps=50, chunk=100, dtype=jnp.bfloat16)
     igb16(0).block_until_ready()
-    extras.append({"metric": "resnet50_ig50_bf16_batch4_attr_per_sec",
-                   "value": round(_pipelined(igb16, 12) * B, 3),
-                   "unit": "attr/s/chip"})
-    extras.append({"metric": "resnet50_ig50_mfu_f32",
-                   "value": round(rate * IG50_FLOP / V5E_F32_PEAK, 4),
-                   "unit": "fraction of 48 TFLOP/s"})
+    r16 = _pipelined(igb16, 8, depth=2) * B16
+    row("resnet50_ig50_bf16_batch8_attr_per_sec", r16)
+    row("resnet50_ig50_mfu_bf16", r16 * IG50_FLOP / V5E_BF16_PEAK,
+        "fraction of 197 TFLOP/s")
 
-    # SmoothGrad 25x50: one folded device sweep (methods/gradient.py)
-    key = jax.random.PRNGKey(1)
-    sg1 = lambda i: G.smooth_grad(bundle, imgs[i % 8], i % 1000, key, "IG",
-                                  steps=50)
-    sg1(0).block_until_ready()
-    sg_rate = _blocked(sg1, 4)
-    extras.append({"metric": "resnet50_sg25x50_attr_per_sec",
-                   "value": round(sg_rate, 3), "unit": "attr/s/chip"})
-
-    # full 10-score metric battery on the IG map
-    import numpy as np
-
+    # metric battery (3 fused reveal passes), f32 and bf16
     from xai_tpu.metrics import run_battery
     from xai_tpu.ops import make_blur_fn
     blur = make_blur_fn()
     sal = G.to_saliency(ig1(0))
     x0 = np.asarray(imgs[0])
     run_battery(bundle.apply, bundle.params, x0, sal, blur, chunk=25)
-    t0 = time.perf_counter()
-    n = 8
-    for _ in range(n):
-        run_battery(bundle.apply, bundle.params, x0, sal, blur, chunk=25)
-    extras.append({"metric": "battery10_images_per_sec",
-                   "value": round(n / (time.perf_counter() - t0), 3),
-                   "unit": "images/s/chip"})
-    # Guided IG: the whole adaptive path search is one device dispatch
+    row("battery10_images_per_sec",
+        _host_rate(lambda i: run_battery(bundle.apply, bundle.params, x0,
+                                         sal, blur, chunk=25), 6),
+        "images/s/chip")
+    p16 = G._cast_params_cached(bundle, jnp.bfloat16)
+    apply16 = _bf16_apply(bundle)
+    run_battery(apply16, p16, x0, sal, blur, chunk=45)
+    row("battery10_bf16_images_per_sec",
+        _host_rate(lambda i: run_battery(apply16, p16, x0, sal, blur,
+                                         chunk=45), 6),
+        "images/s/chip")
+
+    if not budget_ok("sg"):
+        return rate
+    # SmoothGrad 25x50 folded sweep
+    key = jax.random.PRNGKey(1)
+    sg1 = lambda i: G.smooth_grad(bundle, imgs[i % 8], i % 1000, key, "IG",
+                                  steps=50)
+    sg1(0).block_until_ready()
+    row("resnet50_sg25x50_attr_per_sec", _blocked(sg1, 3))
+
+    if not budget_ok("gig_and_rest"):
+        return rate
+    # guided IG: single-dispatch device search + cross-image vmapped batch
     from xai_tpu.methods import gig as GIG
     g1 = lambda i: GIG.guided_ig(bundle, imgs[i % 8], i % 1000, steps=50)
     g1(0)
-    t0 = time.perf_counter()
-    n = 6
-    for i in range(n):
-        g1(i)
-    extras.append({"metric": "resnet50_guided_ig50_attr_per_sec",
-                   "value": round(n / (time.perf_counter() - t0), 3),
-                   "unit": "attr/s/chip"})
+    row("resnet50_guided_ig50_attr_per_sec", _host_rate(g1, 4))
+    gb = lambda i: BT.batch_attribution("cnn", "gig", bundle,
+                                        imgs[:4], imgs[:4],
+                                        np.asarray(targets[:4]), keys[:4])
+    gb(0)
+    row("resnet50_guided_ig50_batch4_attr_per_sec", _host_rate(gb, 3) * 4)
+
+    if not budget_ok("agi_and_rest"):
+        return rate
+    # AGI: single + batched PGD
+    from xai_tpu.methods.agi import agi
+    a1 = lambda i: agi(bundle, imgs01[i % 8])
+    a1(0)
+    row("resnet50_agi_attr_per_sec", _host_rate(a1, 4))
+    ab = lambda i: BT.batch_attribution("cnn", "agi", bundle,
+                                        np.asarray(imgs01[:4]),
+                                        np.asarray(imgs01[:4]),
+                                        np.asarray(targets[:4]), keys[:4])
+    ab(0)
+    row("resnet50_agi_batch4_attr_per_sec", _host_rate(ab, 3) * 4)
+
+    if not budget_ok("guided_family"):
+        return rate
+    # guided backprop / grad-cam family, batched production path
+    for name in ("gbp", "gc", "ggc"):
+        if not budget_ok(f"{name}_batch8"):
+            return rate
+        f = lambda i, n=name: BT.batch_attribution(
+            "cnn", n, bundle, imgs, imgs, np.asarray(targets), keys)
+        f(0)
+        row(f"resnet50_{name}_batch8_attr_per_sec", _host_rate(f, 3) * 8)
+
+    if not budget_ok("lime_xrai"):
+        return rate
+    # LIME (quickshift + ridge) and XRAI (felzenszwalb + greedy)
+    from xai_tpu.methods.lime import lime
+    l1 = lambda i: lime(bundle, np.asarray(imgs01[i % 4]),
+                        jax.random.PRNGKey(i))
+    l1(0)
+    row("resnet50_lime_attr_per_sec", _host_rate(l1, 2))
+    if budget_ok("lime_bf16"):
+        l16 = lambda i: lime(bundle, np.asarray(imgs01[i % 4]),
+                             jax.random.PRNGKey(i), dtype=jnp.bfloat16)
+        l16(0)
+        row("resnet50_lime_bf16_attr_per_sec", _host_rate(l16, 2))
+    from xai_tpu.methods.xrai import xrai
+    base_ig = np.asarray(G.ig(bundle, imgs[0], 1, 50, 1.0, 0.0))
+    x1 = lambda i: xrai(np.asarray(imgs[i % 4]), base_ig)
+    x1(0)
+    row("resnet50_xrai_attr_per_sec", _host_rate(x1, 2))
+
     return rate
 
 
+def _bf16_apply(bundle):
+    ap = bundle.apply
+
+    def apply16(p, x):
+        return ap(p, x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    return apply16
+
+
 def bench_vit(extras):
+    from xai_tpu.methods import batch as BT
     from xai_tpu.methods import vit_explain as VE
+    from xai_tpu.methods import vit_lrp as VL
     from xai_tpu.models import vit
 
     bundle = vit.make_bundle("VIT16")
-    imgs = jax.random.normal(jax.random.PRNGKey(2), (4, 224, 224, 3),
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (8, 224, 224, 3),
                              jnp.float32)
+    targets = np.arange(8) % 1000
+    keys = np.stack([np.asarray(jax.random.fold_in(jax.random.PRNGKey(3),
+                                                   i)) for i in range(8)])
+
     r1 = lambda i: VE.rollout(bundle, imgs[i % 4])
     r1(0).block_until_ready()
-    extras.append({"metric": "vit_b16_rollout_attr_per_sec",
-                   "value": round(_pipelined(r1, 32), 3),
-                   "unit": "attr/s/chip"})
+    row("vit_b16_rollout_attr_per_sec", _pipelined(r1, 24))
+    if not budget_ok("BT.batch_attribution"):
+        return
+    rb = lambda i: BT.batch_attribution("vit", "rollout", bundle, imgs,
+                                        imgs, targets, keys)
+    rb(0)
+    row("vit_b16_rollout_batch8_attr_per_sec", _host_rate(rb, 4) * 8)
 
+    if not budget_ok("VE.bidirectional"):
+        return
     b1 = lambda i: VE.bidirectional(bundle, imgs[i % 4], i % 1000)
     b1(0).block_until_ready()
-    extras.append({"metric": "vit_b16_bi_attn_attr_per_sec",
-                   "value": round(_blocked(b1, 8), 3),
-                   "unit": "attr/s/chip"})
+    row("vit_b16_bi_attn_attr_per_sec", _blocked(b1, 6))
+    if not budget_ok("BT.batch_attribution"):
+        return
+    bb = lambda i: BT.batch_attribution("vit", "bi_attn", bundle, imgs,
+                                        imgs, targets, keys)
+    bb(0)
+    row("vit_b16_bi_attn_batch8_attr_per_sec", _host_rate(bb, 3) * 8)
 
-    from xai_tpu.methods import vit_lrp as VL
+    if not budget_ok("VL.transformer_attribution"):
+        return
     t1 = lambda i: VL.transformer_attribution(bundle, imgs[i % 4], i % 1000)
     t1(0).block_until_ready()
-    extras.append({"metric": "vit_b16_t_attr_attr_per_sec",
-                   "value": round(_pipelined(t1, 16), 3),
-                   "unit": "attr/s/chip"})
+    row("vit_b16_t_attr_attr_per_sec", _pipelined(t1, 12))
+
+    if not budget_ok("vit_cx"):
+        return
+    from xai_tpu.methods.vit_cx import vit_cx
+    v1 = lambda i: vit_cx(bundle, imgs[i % 4], i % 1000,
+                          key=jax.random.PRNGKey(i))
+    v1(0)
+    row("vit_b16_vit_cx_attr_per_sec", _host_rate(v1, 3))
+    if budget_ok("vit_cx_bf16"):
+        v16 = lambda i: vit_cx(bundle, imgs[i % 4], i % 1000,
+                               key=jax.random.PRNGKey(i),
+                               dtype=jnp.bfloat16)
+        v16(0)
+        row("vit_b16_vit_cx_bf16_attr_per_sec", _host_rate(v16, 3))
+
+    if not budget_ok("tis"):
+        return
+    from xai_tpu.methods.tis import tis
+    s1 = lambda i: tis(bundle, imgs[i % 4], i % 1000,
+                       key=jax.random.PRNGKey(i))
+    s1(0).block_until_ready()
+    row("vit_b16_tis_attr_per_sec", _blocked(s1, 3))
+
+    if not budget_ok("budget"):
+        return
+    # MDA at the quick 16-patch budget (warm)
+    from xai_tpu.methods.mda import mda
+    from xai_tpu.ops.blur import make_blur_fn
+    blur = jax.jit(make_blur_fn(31, 31.0))
+    prior = np.repeat(np.asarray(
+        VE.bidirectional(bundle, imgs[0], 1))[..., None], 3, -1)
+    prior224 = np.repeat(np.asarray(jax.image.resize(
+        jnp.asarray(prior[..., 0]), (224, 224), "linear"))[..., None], 3, -1)
+    m1 = lambda i: mda(bundle, np.asarray(imgs[i % 2]), imgs[i % 2],
+                       prior224, 16, blur, target=1)
+    m1(0)
+    row("vit_b16_mda16_attr_per_sec", _host_rate(m1, 2))
 
 
 def bench_clip(extras):
+    from xai_tpu.methods import batch as BT
     from xai_tpu.methods import clip_explain as CE
     from xai_tpu.models import clip as clipmod
 
     bundle = clipmod.make_bundle("CLIP16")
     bundle = clipmod.attach_text_table(bundle)
     txt = bundle.extras["text_embeddings"][:1]
-    imgs = jax.random.normal(jax.random.PRNGKey(3), (4, 224, 224, 3),
+    toks = bundle.extras["text_tokens_table"][:1]
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (8, 224, 224, 3),
                              jnp.float32)
+    targets = np.arange(8) % 1000
+    keys = np.stack([np.asarray(jax.random.fold_in(jax.random.PRNGKey(4),
+                                                   i)) for i in range(8)])
+    extras_b = {"txt_emb": np.asarray(bundle.extras["text_embeddings"]
+                                      )[targets],
+                "text_tokens": np.asarray(
+                    bundle.extras["text_tokens_table"])[targets]}
+
     e1 = lambda i: CE.grad_eclip(bundle, imgs[i % 4], txt)
     e1(0).block_until_ready()
-    extras.append({"metric": "clip_b16_eclip_attr_per_sec",
-                   "value": round(_blocked(e1, 8), 3),
-                   "unit": "attr/s/chip"})
+    row("clip_b16_eclip_attr_per_sec", _blocked(e1, 6))
+    if not budget_ok("BT.batch_attribution"):
+        return
+    eb = lambda i: BT.batch_attribution("clip", "eclip", bundle, imgs,
+                                        imgs, targets, keys,
+                                        extras=extras_b)
+    eb(0)
+    row("clip_b16_eclip_batch8_attr_per_sec", _host_rate(eb, 3) * 8)
+
+    if not budget_ok("CE.game"):
+        return
+    g1 = lambda i: CE.game(bundle, imgs[i % 4], toks)
+    g1(0).block_until_ready()
+    row("clip_b16_game_attr_per_sec", _blocked(g1, 6))
+
+    if not budget_ok("CE.clip_lrp"):
+        return
+    lr = lambda i: CE.clip_lrp(bundle, imgs[i % 4], toks)[1]
+    lr(0).block_until_ready()
+    row("clip_b16_clip_lrp_attr_per_sec", _blocked(lr, 6))
+
+    if not budget_ok("surgery_map"):
+        return
+    from xai_tpu.methods.clip_surgery import surgery_map
+    stxt = bundle.extras["text_embeddings"][:60]
+    su = lambda i: surgery_map(bundle, imgs[i % 4], stxt)
+    su(0).block_until_ready()
+    row("clip_b16_surgery_attr_per_sec", _blocked(su, 6))
+
+    if not budget_ok("vision_heatmap_iba"):
+        return
+    from xai_tpu.methods.clip_m2ib import vision_heatmap_iba
+    m1 = lambda i: vision_heatmap_iba(bundle, imgs[i % 4], txt,
+                                      key=jax.random.PRNGKey(i))
+    m1(0)
+    row("clip_b16_m2ib_attr_per_sec", _host_rate(m1, 3))
+
+
+def write_table(headline_rate):
+    lines = ["# BENCH_TABLE (generated by bench.py — do not hand-edit)",
+             "",
+             "| metric | value | unit |", "|---|---|---|",
+             f"| resnet50_ig50_attr_per_sec | {headline_rate:.3f} | "
+             "attr/s/chip |"]
+    for e in EXTRAS:
+        lines.append(f"| {e['metric']} | {e['value']} | {e['unit']} |")
+    with open("BENCH_TABLE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def main():
-    extras = []
-    rate = bench_resnet_ig(extras)
+    rate = None
+    try:
+        rate = bench_resnet(EXTRAS)
+    except Exception as e:
+        EXTRAS.append({"metric": "bench_resnet_error",
+                       "value": f"{type(e).__name__}: {e}",
+                       "unit": "error"})
     for part in (bench_vit, bench_clip):
         try:
-            part(extras)
+            part(EXTRAS)
         except Exception as e:   # a broken sub-bench must not hide the rest
-            extras.append({"metric": f"{part.__name__}_error",
+            EXTRAS.append({"metric": f"{part.__name__}_error",
                            "value": f"{type(e).__name__}: {e}",
                            "unit": "error"})
+    if _SKIPPED:
+        EXTRAS.append({"metric": "rows_skipped_after_budget",
+                       "value": ",".join(_SKIPPED), "unit": "note"})
+    if rate is None:
+        rate = 0.0
+    try:
+        write_table(rate)
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "resnet50_ig50_attr_per_sec",
         "value": round(rate, 3),
         "unit": "attributions/sec/chip",
         "vs_baseline": round(rate / BASELINE_ATTR_PER_SEC, 2),
-        "extras": extras,
+        "extras": EXTRAS,
     }))
 
 

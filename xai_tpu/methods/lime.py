@@ -19,16 +19,29 @@ import numpy as np
 from ..native import quickshift
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
-def _batch_probs(apply_fn, params, images, target_unused, chunk):
-    n = images.shape[0]
+@functools.partial(jax.jit, static_argnums=(0, 6, 7))
+def _lime_probs_jit(apply_fn, params, img, fudged, seg, rows, chunk,
+                    normalize_fn):
+    """Fused sample scoring: each chunk BUILDS its masked images inside the
+    jit (round-2 materialized all 1000 fudged 224^2 images eagerly — a
+    ~600 MB round-trip before the forwards even started) and runs the
+    softmax forward.  rows: [S, n_features] 0/1."""
+    n = rows.shape[0]
 
-    def one(xb):
-        return jax.nn.softmax(apply_fn(params, xb), axis=-1)
+    def one(rows_b):
+        def build(row):
+            on = row[seg]                             # [H, W] 0/1
+            x = jnp.where(on[..., None] == 1, img, fudged)
+            if normalize_fn is not None:
+                x = normalize_fn(x)
+            return x
 
-    return jax.lax.map(one, images.reshape((n // chunk, chunk) +
-                                           images.shape[1:])).reshape(
-        n, -1)
+        xb = jax.vmap(build)(rows_b)
+        return jax.nn.softmax(
+            apply_fn(params, xb).astype(jnp.float32), axis=-1)
+
+    return jax.lax.map(one, rows.reshape(
+        (n // chunk, chunk) + rows.shape[1:])).reshape(n, -1)
 
 
 def _weighted_ridge(X, y, w, alpha=1.0):
@@ -49,8 +62,8 @@ def _weighted_ridge(X, y, w, alpha=1.0):
 
 def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
          num_features: int = 5, kernel_width: float = 0.25,
-         hide_color: float = 0.0, chunk: int = 50,
-         normalize_input=None) -> np.ndarray:
+         hide_color: float = 0.0, chunk: int = 100,
+         normalize_input=None, dtype=None) -> np.ndarray:
     """img: [H, W, 3] float in [0, 1] (the driver feeds the *unnormalized*
     trans_img, limeAttr batch_predict re-normalizes implicitly via model —
     actually the reference feeds raw [0,1] images straight to the model;
@@ -66,7 +79,7 @@ def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
         (num_samples, n_features))
     data[0, :] = 1
 
-    # build masked images on device: seg_onehot [H, W] int -> per-sample mask
+    # per-chunk masked-image build + forward, all inside ONE jit
     seg = jnp.asarray(segments)
     imgs_base = jnp.asarray(img)
     fudged = jnp.full_like(imgs_base, hide_color)
@@ -74,17 +87,23 @@ def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
 
     pad = (-num_samples) % chunk
     rows_p = jnp.concatenate([rows, jnp.ones((pad, n_features), jnp.int32)])
+    # bucket the (image-dependent) segment count so the fused jit compiles
+    # once per bucket, not once per image
+    col_pad = (-n_features) % 64
+    if col_pad:
+        rows_p = jnp.concatenate(
+            [rows_p, jnp.zeros((rows_p.shape[0], col_pad), jnp.int32)],
+            axis=1)
 
-    def build(row):
-        on = row[seg]                                 # [H, W] 0/1
-        x = jnp.where(on[..., None] == 1, imgs_base, fudged)
-        if normalize_input is not None:
-            x = normalize_input(x)
-        return x
-
-    imgs = jax.vmap(build)(rows_p)
-    probs = np.asarray(_batch_probs(bundle.apply, bundle.params, imgs, None,
-                                    chunk))[:num_samples]
+    params = bundle.params
+    if dtype is not None:
+        from .gradient import _cast_params_cached
+        params = _cast_params_cached(bundle, dtype)
+        imgs_base = imgs_base.astype(dtype)
+        fudged = fudged.astype(dtype)
+    probs = np.asarray(_lime_probs_jit(bundle.apply, params, imgs_base,
+                                       fudged, seg, rows_p, chunk,
+                                       normalize_input))[:num_samples]
 
     # cosine distances to the all-on row
     norm = np.linalg.norm(data, axis=1)

@@ -36,7 +36,8 @@ def _causal_scores(apply_fn, params, x, masks, noise, chunk, class_p,
     real_k = K if real_k is None else real_k
 
     def probs(xb):
-        return jax.nn.softmax(apply_fn(params, xb), axis=-1)
+        return jax.nn.softmax(apply_fn(params, xb).astype(jnp.float32),
+                              axis=-1)
 
     def one_chunk(args):
         mb, nb = args
@@ -48,8 +49,9 @@ def _causal_scores(apply_fn, params, x, masks, noise, chunk, class_p,
         return pm - po + class_p
 
     pad = (-K) % chunk
-    masks_p = jnp.concatenate([masks, jnp.zeros((pad, H, W))])
-    noise_p = jnp.concatenate([noise, jnp.zeros((pad, H, W, 3))])
+    masks_p = jnp.concatenate([masks, jnp.zeros((pad, H, W), masks.dtype)])
+    noise_p = jnp.concatenate([noise, jnp.zeros((pad, H, W, 3),
+                                                noise.dtype)])
     diffs = jax.lax.map(
         one_chunk,
         (masks_p.reshape((-1, chunk, H, W)),
@@ -94,14 +96,20 @@ def _cluster_and_score_jit(apply_fn, chunk, Kp, params, x, masks, labels,
 
 
 def vit_cx(bundle, x, target=None, distance_threshold: float = 0.1,
-           gpu_batch: int = 50, key=None, noise=None) -> np.ndarray:
+           gpu_batch: int = 50, key=None, noise=None,
+           dtype=None) -> np.ndarray:
     """Returns the minmax-normalized [H, W] map the driver consumes
     (evaluatePerturbation.py:231-235).
 
     ``noise``: optional pre-drawn [K, H, W, 3] Gaussian noise (already
     scaled by 0.1) overriding the key-based draw — used by the direct
     parity test to share torch.randn samples with the reference's
-    causal_score (causal_score.py:30)."""
+    causal_score (causal_score.py:30).
+
+    ``dtype=jnp.bfloat16`` runs the ~2K causal-scoring forwards (the
+    roofline: ~380 ViT-B forwards per image, >95% of the method's time) on
+    the bf16 MXU path; softmaxes and the mask-weighted sum stay f32.
+    Saliency orderings are rank-stable; keep f32 for bit-parity work."""
     x = jnp.asarray(x)
     if x.ndim == 4:
         x = x[0]
@@ -138,7 +146,14 @@ def vit_cx(bundle, x, target=None, distance_threshold: float = 0.1,
         noise_b = jnp.concatenate(
             [noise, jnp.zeros((Kp - K, H, H, 3))])
     chunk = min(gpu_batch, bucket)
-    sal = _cluster_and_score_jit(bundle.apply, chunk, Kp, bundle.params, x,
+    params = bundle.params
+    if dtype is not None:
+        from .gradient import _cast_params_cached
+        params = _cast_params_cached(bundle, dtype)
+        x = x.astype(dtype)
+        masks = masks.astype(dtype)
+        noise_b = noise_b.astype(dtype)
+    sal = _cluster_and_score_jit(bundle.apply, chunk, Kp, params, x,
                                  masks, jnp.asarray(labels, jnp.int32),
                                  noise_b, class_p, target, K)
     sal = np.asarray(sal)
