@@ -120,6 +120,9 @@ def run_sweep(args):
                 "--image_count", str(args.image_count),
                 "--synthetic", str(args.synthetic),
                 "--output_dir", args.output_dir]
+        if driver == "pert" and args.image_batch > 1:
+            argv += ["--image_batch", str(args.image_batch),
+                     "--attr_dtype", args.attr_dtype]
         if driver == "seg":
             if args.seg_dataset_path:
                 argv += ["--dataset_path", args.seg_dataset_path]
@@ -155,6 +158,12 @@ def build_parser():
     p.add_argument("--class_maps_dir", type=str, default="")
     p.add_argument("--output_dir", type=str, default="pert_test_results")
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--image_batch", type=int, default=1,
+                   help="pert driver: fused attribution+battery batch size")
+    p.add_argument("--attr_dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="pert driver: precision of the batched "
+                        "attribution sweep")
     return p
 
 
