@@ -315,3 +315,59 @@ def test_bf16_batch_rank_stable(cnn_setup):
     for i in range(B):
         rho = spearmanr(f32[i].ravel(), bf16[i].ravel()).statistic
         assert rho > 0.98, rho
+
+
+def test_bf16_tolerances_recorded():
+    """Per-method bf16-vs-f32 contracts for the production bf16 paths:
+    rank correlation of the saliency orderings (what every ranked-reveal
+    metric consumes) must stay above the bounds recorded here."""
+    from scipy.stats import spearmanr
+
+    from xai_tpu.methods.lime import lime
+    from xai_tpu.methods.vit_cx import vit_cx
+
+    b = tiny_bundle(hw=HW)
+    rs = np.random.RandomState(9)
+    xs = rs.randn(2, HW, HW, 3).astype(np.float32)
+    targets = np.array([2, 5])
+    keys = np.stack([np.asarray(jax.random.fold_in(jax.random.PRNGKey(7),
+                                                   i)) for i in range(2)])
+    bounds = {}
+    for name in ("ig", "lig", "sg"):
+        f32 = _batch(b, xs, targets, keys, name)
+        b16 = _batch(b, xs, targets, keys, name, dtype=jnp.bfloat16)
+        rho = min(spearmanr(f32[i].ravel(), b16[i].ravel()).statistic
+                  for i in range(2))
+        bounds[name] = rho
+        assert rho > 0.98, (name, rho)
+
+    # LIME bf16: the output is a binary top-segment mask — require the
+    # masks to agree on >=80% of pixels (probs noise can flip marginal
+    # segment ranks on a random tiny model)
+    img01 = rs.rand(HW, HW, 3).astype(np.float32)
+    m32 = lime(b, img01, jax.random.PRNGKey(1), num_samples=200)
+    m16 = lime(b, img01, jax.random.PRNGKey(1), num_samples=200,
+               dtype=jnp.bfloat16)
+    assert (m32 == m16).mean() > 0.8
+
+    # ViT-CX bf16 on a tiny ViT
+    from xai_tpu.models import vit as vitmod
+    from xai_tpu.models.common import jit_bundle, ModelMeta
+    cfg = vitmod.ViTConfig(patch=8, embed_dim=32, depth=2, num_heads=4,
+                           mlp_ratio=2.0, num_classes=16, img_hw=32)
+    model = vitmod.VisionTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    vb = jit_bundle(
+        meta=ModelMeta(name="tv", family="vit", img_hw=32, num_classes=16,
+                       num_patches=4, batch_size=8),
+        params=params,
+        apply=lambda p, x: model.apply({"params": p}, x),
+        apply_taps=lambda p, x: model.apply({"params": p}, x, taps=True),
+        extras=cfg)
+    xv = rs.randn(32, 32, 3).astype(np.float32)
+    v32 = vit_cx(vb, xv, 3, key=jax.random.PRNGKey(2))
+    v16 = vit_cx(vb, xv, 3, key=jax.random.PRNGKey(2),
+                 dtype=jnp.bfloat16)
+    rho = spearmanr(v32.ravel(), v16.ravel()).statistic
+    assert rho > 0.9, rho
