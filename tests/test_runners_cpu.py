@@ -79,3 +79,18 @@ def test_randomize_family_branches():
     assert not np.allclose(np.asarray(clip["token_embedding"]), 1.0)
     # conv (4-D) untouched for CLIP
     assert np.allclose(np.asarray(clip["conv"]["kernel"]), 1.0)
+
+
+def test_evaluate_imagenet_seg_batched_matches(tmp_path):
+    """--image_batch fused attribution path == sequential seg scores
+    (incl. a partial tail batch: 3 images, batch 2)."""
+    from xai_tpu.runners.evaluate_imagenet_seg import (build_parser,
+                                                       evaluate_imagenet_seg)
+    base = ["--model", "TINY_CNN", "--attr_func", "ig", "--image_count",
+            "3", "--synthetic", "3"]
+    seq = evaluate_imagenet_seg(build_parser().parse_args(
+        base + ["--output_dir", str(tmp_path / "a")]))
+    bat = evaluate_imagenet_seg(build_parser().parse_args(
+        base + ["--output_dir", str(tmp_path / "b"), "--image_batch", "2"]))
+    for k in seq:
+        assert abs(seq[k] - bat[k]) < 1e-6, (k, seq[k], bat[k])

@@ -31,37 +31,81 @@ def evaluate_imagenet_seg(args) -> dict:
     total_label = np.int64(0)
     total_ap, total_f1 = [], []
 
-    for i, item in enumerate(ds):
-        if args.image_count and i >= args.image_count:
-            break
-        x = normalize_input(item.trans_img, family)
-        target = int(jnp.argmax(bundle.apply(bundle.params, x[None])[0]))
-        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
-        ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
-                          target=target, key=key,
-                          img_hw=bundle.meta.img_hw,
-                          extras=(clip_extras(bundle, target)
-                                  if family == "clip" else None))
-        sal = get_attribution(family, args.attr_func, ctx)
+    def score_one(sal, gt_mask):
+        nonlocal total_correct, total_label, total_inter, total_union
         if args.attr_func == "MDA_dense":
             # per-image best-IoU threshold sweep (evaluateImageNetSeg.py:
             # 331-360) instead of the mean threshold
-            sal, thr = best_threshold(sal, item.gt_mask)
+            sal, thr = best_threshold(sal, gt_mask)
             correct, labeled, inter, union, ap, f1 = eval_batch(
-                sal, item.gt_mask, thr=thr, normalized=True)
+                sal, gt_mask, thr=thr, normalized=True)
         else:
             correct, labeled, inter, union, ap, f1 = eval_batch(
-                sal, item.gt_mask)
+                sal, gt_mask)
         total_correct += np.int64(correct)
         total_label += np.int64(labeled)
         total_inter += inter.astype(np.int64)
         total_union += union.astype(np.int64)
         total_ap.append(ap)
         total_f1.append(f1)
+
+    def flush(buf):
+        """Batched attribution for a full buffer (one fused dispatch when
+        the method supports it — methods/batch.py), then per-image seg
+        scoring on host."""
+        from ..methods.batch import batch_attribution
+        xs = np.stack([b["x"] for b in buf])
+        targets = np.array([b["target"] for b in buf])
+        keys = np.stack([np.asarray(b["key"]) for b in buf])
+        extras = None
+        if family == "clip":
+            extras = {"txt_emb": np.stack(
+                [b["extras"]["txt_emb"][0] for b in buf])}
+            if "text_tokens" in buf[0]["extras"]:
+                extras["text_tokens"] = np.stack(
+                    [b["extras"]["text_tokens"][0] for b in buf])
+        sals = batch_attribution(family, args.attr_func, bundle, xs,
+                                 np.stack([b["trans_img"] for b in buf]),
+                                 targets, keys, extras=extras,
+                                 img_hw=bundle.meta.img_hw)
+        if sals is None:
+            sals = [get_attribution(family, args.attr_func, AttrContext(
+                bundle=bundle, x=jnp.asarray(b["x"]),
+                trans_img=b["trans_img"], target=b["target"], key=b["key"],
+                img_hw=bundle.meta.img_hw, extras=b["extras"]))
+                for b in buf]
+        for b, sal in zip(buf, sals):
+            score_one(np.asarray(sal), b["gt_mask"])
+        buf.clear()
+
+    buf = []
+    for i, item in enumerate(ds):
+        if args.image_count and i >= args.image_count:
+            break
+        x = normalize_input(item.trans_img, family)
+        target = int(jnp.argmax(bundle.logits_fn(bundle.params,
+                                                 x[None])[0]))
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+        extras = clip_extras(bundle, target) if family == "clip" else None
+        if args.image_batch > 1:
+            buf.append({"x": np.asarray(x),
+                        "trans_img": np.asarray(item.trans_img),
+                        "target": target, "key": key, "extras": extras,
+                        "gt_mask": item.gt_mask})
+            if len(buf) == args.image_batch:
+                flush(buf)
+            continue
+        ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
+                          target=target, key=key,
+                          img_hw=bundle.meta.img_hw, extras=extras)
+        sal = get_attribution(family, args.attr_func, ctx)
+        score_one(sal, item.gt_mask)
         if args.verbose:
             pixacc = total_correct / (np.spacing(1) + total_label)
             miou = (total_inter / (np.spacing(1) + total_union)).mean()
             print(f"[{i + 1}] pixAcc {pixacc:.4f} mIoU {miou:.4f}")
+    if buf:
+        flush(buf)
 
     pixAcc = float(total_correct / (np.spacing(1) + total_label))
     mIoU = float((total_inter / (np.spacing(1) + total_union)).mean())
@@ -93,6 +137,9 @@ def build_parser():
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--image_batch", type=int, default=1,
+                   help="fused multi-image attribution batch size "
+                        "(methods with a batched implementation)")
     return p
 
 
