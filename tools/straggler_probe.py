@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import jax, jax.numpy as jnp, numpy as np
 from xai_tpu.models import resnet, vit
