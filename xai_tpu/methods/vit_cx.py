@@ -127,6 +127,11 @@ def vit_cx(bundle, x, target=None, distance_threshold: float = 0.1,
         target = int(jnp.argmax(probs0))
     class_p = float(probs0[target])
     dist = 1.0 - np.nan_to_num(np.asarray(sim))
+    # sklearn's complete-linkage clusterer, exactly as the reference
+    # (ViT_CX.py:92-107).  scipy's fcluster computes the same algorithm
+    # ~5x faster but the feature-map masks are tie-rich (near-identical
+    # columns), and tie-breaking order changes cluster membership — the
+    # direct oracle pins the sklearn behavior.
     cl = AgglomerativeClustering(n_clusters=None,
                                  distance_threshold=distance_threshold,
                                  metric="precomputed", linkage="complete")

@@ -17,8 +17,51 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <numeric>
+#include <thread>
 #include <vector>
+
+// run fn(y) for y in [0, H) across hardware threads (quickshift's density
+// and parent searches are pixel-independent; single-threaded they were
+// ~0.4 s/image at 224^2 — the LIME bottleneck)
+template <typename F>
+static void parallel_rows(int H, F fn) {
+  unsigned n = std::thread::hardware_concurrency();
+  if (n <= 1 || H < 32) {
+    for (int y = 0; y < H; y++) fn(y);
+    return;
+  }
+  n = std::min<unsigned>(n, 16);
+  std::vector<std::thread> ts;
+  for (unsigned t = 0; t < n; t++)
+    ts.emplace_back([=]() {
+      for (int y = (int)t; y < H; y += (int)n) fn(y);
+    });
+  for (auto& th : ts) th.join();
+}
+
+
+
+// vectorizable expf: 2^(x*log2e) via exponent-bit assembly + 5th-order
+// polynomial on the fraction (~2e-7 relative).  libm expf is a scalar call
+// the compiler can't vectorize; this form auto-vectorizes 16-wide under
+// -march=native AVX-512, and the quickshift density estimate (the LIME
+// bottleneck: ~31M exps/image single-core) is pure exp throughput.
+static inline float fast_expf(float x) {
+  x = x < -80.0f ? -80.0f : x;        // exp(-80) ~ 1.8e-35: effectively 0
+  float t = x * 1.44269504089f;
+  float fi = floorf(t);
+  float f = t - fi;
+  float p = 1.0f + f * (0.693147180f + f * (0.240226507f +
+            f * (0.0555041087f + f * (0.00961812910f +
+            f * 0.00133335581f))));
+  int32_t i = ((int32_t)fi + 127) << 23;
+  float scale = __builtin_bit_cast(float, i);
+  return scale * p;
+}
 
 extern "C" {
 
@@ -275,35 +318,59 @@ int felzenszwalb(const float* image, int H, int W, int C, float scale,
 // ---------------------------------------------------------------------------
 // image HxWx3 RGB [0,1]; ratio scales color vs space; kernel_size the
 // Parzen bandwidth; max_dist the maximum parent link length.
+
 int quickshift(const float* image, int H, int W, float ratio,
                float kernel_size, float max_dist, int32_t* labels) {
+  auto t_start = std::chrono::steady_clock::now();
   int N = H * W;
   std::vector<float> lab(3 * N);
   rgb2lab(image, lab.data(), N);
   for (int i = 0; i < 3 * N; i++) lab[i] *= ratio;
 
-  // Parzen density with gaussian kernel over a (2w+1)^2 window
+  // Parzen density with gaussian kernel over a (2w+1)^2 window.
+  // Channel-planar (SoA) layout + unrolled channels + fast_expf lets the
+  // compiler vectorize the contiguous inner xx loop (the container is
+  // single-core, so SIMD is the only parallelism available).
   int w = std::max(1, (int)(3.0f * kernel_size));
   std::vector<float> density(N, 0.0f);
   float inv2s2 = 1.0f / (2.0f * kernel_size * kernel_size);
-  for (int y = 0; y < H; y++)
-    for (int x = 0; x < W; x++) {
-      int p = y * W + x;
-      float acc = 0;
-      for (int yy = std::max(0, y - w); yy <= std::min(H - 1, y + w); yy++)
-        for (int xx = std::max(0, x - w); xx <= std::min(W - 1, x + w);
-             xx++) {
-          int q = yy * W + xx;
-          float d = (float)((y - yy) * (y - yy) + (x - xx) * (x - xx));
-          for (int c = 0; c < 3; c++) {
-            float v = lab[3 * p + c] - lab[3 * q + c];
-            d += v * v;
-          }
-          acc += expf(-d * inv2s2);
+  std::vector<float> Lp(N), Ap(N), Bp(N);
+  for (int i = 0; i < N; i++) {
+    Lp[i] = lab[3 * i];
+    Ap[i] = lab[3 * i + 1];
+    Bp[i] = lab[3 * i + 2];
+  }
+  parallel_rows(H, [&](int y) {
+    float* drow = &density[y * W];
+    const float* Lc = &Lp[y * W];
+    const float* Ac = &Ap[y * W];
+    const float* Bc = &Bp[y * W];
+    for (int dy = -w; dy <= w; dy++) {
+      int yy = y + dy;
+      if (yy < 0 || yy >= H) continue;
+      for (int dx = -w; dx <= w; dx++) {
+        // q = (yy, x + dx) contributes to p = (y, x) for every valid x:
+        // the x loop is contiguous in both rows, trip ~W — wide enough
+        // for the 16-lane AVX-512 form (the per-pixel 25-element window
+        // loop vectorized but its trip count wasted the lanes)
+        int x0 = dx < 0 ? -dx : 0;
+        int x1 = dx > 0 ? W - dx : W;
+        const float* Lr = &Lp[yy * W + dx];
+        const float* Ar = &Ap[yy * W + dx];
+        const float* Br = &Bp[yy * W + dx];
+        float sp = (float)(dy * dy + dx * dx);
+        #pragma omp simd
+        for (int x = x0; x < x1; x++) {
+          float vl = Lc[x] - Lr[x], va = Ac[x] - Ar[x],
+                vb = Bc[x] - Br[x];
+          float d = sp + vl * vl + va * va + vb * vb;
+          drow[x] += fast_expf(-d * inv2s2);
         }
-      density[p] = acc;
+      }
     }
+  });
 
+  auto t_density = std::chrono::steady_clock::now();
   // link each pixel to the nearest higher-density neighbor.  skimage
   // confines the parent search to the SAME 3*kernel_size window as the
   // density estimate; max_dist is only the joint-distance cutoff beyond
@@ -314,7 +381,7 @@ int quickshift(const float* image, int H, int W, float ratio,
   int wd = std::min(w, (int)ceilf(max_dist));
   std::vector<int> parent(N);
   std::iota(parent.begin(), parent.end(), 0);
-  for (int y = 0; y < H; y++)
+  parallel_rows(H, [&](int y) {
     for (int x = 0; x < W; x++) {
       int p = y * W + x;
       float best = max_dist * max_dist;
@@ -357,6 +424,15 @@ int quickshift(const float* image, int H, int W, float ratio,
       }
       parent[p] = bestq;
     }
+  });
+  auto t_parent = std::chrono::steady_clock::now();
+  if (getenv("XAI_NATIVE_DEBUG")) {
+    auto ms = [](auto a, auto b) {
+      return std::chrono::duration<double, std::milli>(b - a).count();
+    };
+    fprintf(stderr, "[quickshift] density %.1f ms, parent %.1f ms\n",
+            ms(t_start, t_density), ms(t_density, t_parent));
+  }
 
   // flatten forests to roots, relabel
   std::vector<int32_t> remap(N, -1);
