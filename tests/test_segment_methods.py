@@ -154,3 +154,19 @@ def test_tis_small_vit():
     m = vit_cx(b, x, key=jax.random.PRNGKey(2))
     assert m.shape == (32, 32)
     assert np.isfinite(m).all()
+
+
+def test_quickshift_device_matches_native():
+    """The on-device quickshift (ops/quickshift_jax.py) reproduces the
+    native C++ segmentation exactly (same density/parent semantics)."""
+    import numpy as np
+    from xai_tpu.native import quickshift
+    from xai_tpu.ops.quickshift_jax import quickshift_device
+
+    img = np.random.RandomState(3).rand(64, 64, 3).astype(np.float32)
+    a = quickshift(img, 0.2, 4.0, 200.0)
+    b = quickshift_device(img, 0.2, 4.0, 200.0)
+    assert a.max() == b.max()
+    # same partition up to label permutation
+    pair = a.astype(np.int64) * (b.max() + 1) + b
+    assert len(np.unique(pair)) == a.max() + 1

@@ -40,8 +40,13 @@ def _lime_probs_jit(apply_fn, params, img, fudged, seg, rows, chunk,
         return jax.nn.softmax(
             apply_fn(params, xb).astype(jnp.float32), axis=-1)
 
-    return jax.lax.map(one, rows.reshape(
+    probs = jax.lax.map(one, rows.reshape(
         (n // chunk, chunk) + rows.shape[1:])).reshape(n, -1)
+    # select the explained label ON DEVICE: the full [S, n_classes] probs
+    # matrix is ~4 MB and the device->host link (the axon tunnel) is slow;
+    # the ridge only needs the top-label column + the all-on row
+    label = jnp.argmax(probs[0])
+    return probs[0], probs[:, label], label
 
 
 def _weighted_ridge(X, y, w, alpha=1.0):
@@ -63,18 +68,34 @@ def _weighted_ridge(X, y, w, alpha=1.0):
 def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
          num_features: int = 5, kernel_width: float = 0.25,
          hide_color: float = 0.0, chunk: int = 100,
-         normalize_input=None, dtype=None) -> np.ndarray:
+         normalize_input=None, dtype=None,
+         segmenter: str = "device") -> np.ndarray:
     """img: [H, W, 3] float in [0, 1] (the driver feeds the *unnormalized*
     trans_img, limeAttr batch_predict re-normalizes implicitly via model —
     actually the reference feeds raw [0,1] images straight to the model;
     we apply ``normalize_input`` if given to match the bundle's expectations).
     Returns [H, W] binary mask of the top positive segments."""
     img = np.asarray(img, dtype=np.float32)
-    segments = quickshift(img, ratio=0.2, kernel_size=4.0, max_dist=200.0)
+    if segmenter == "device":
+        # quickshift's density + parent stencils run on the chip (~5 ms vs
+        # ~150 ms at this host's single-core exp wall); identical segments
+        # (tests/test_segment_methods.py device-vs-native check)
+        from ..ops.quickshift_jax import quickshift_device
+        segments = quickshift_device(img, ratio=0.2, kernel_size=4.0,
+                                     max_dist=200.0)
+    else:
+        segments = quickshift(img, ratio=0.2, kernel_size=4.0,
+                              max_dist=200.0)
     n_features = int(segments.max()) + 1
 
-    rs = np.random.RandomState(
-        int(jax.random.randint(key, (), 0, 2 ** 31 - 1)))
+    # seed host numpy straight from the key's raw words — the former
+    # jax.random.randint was an eager device op, i.e. one full tunnel
+    # round-trip per attribution just to make a seed
+    karr = jnp.asarray(key)
+    if jnp.issubdtype(karr.dtype, jax.dtypes.prng_key):
+        karr = jax.random.key_data(karr)
+    kw = np.asarray(karr).ravel()
+    rs = np.random.RandomState(int(kw[-1]) % (2 ** 31 - 1))
     data = rs.randint(0, 2, num_samples * n_features).reshape(
         (num_samples, n_features))
     data[0, :] = 1
@@ -101,9 +122,10 @@ def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
         params = _cast_params_cached(bundle, dtype)
         imgs_base = imgs_base.astype(dtype)
         fudged = fudged.astype(dtype)
-    probs = np.asarray(_lime_probs_jit(bundle.apply, params, imgs_base,
-                                       fudged, seg, rows_p, chunk,
-                                       normalize_input))[:num_samples]
+    probs0, y, _label = _lime_probs_jit(bundle.apply, params, imgs_base,
+                                        fudged, seg, rows_p, chunk,
+                                        normalize_input)
+    y = np.asarray(y)[:num_samples]
 
     # cosine distances to the all-on row
     norm = np.linalg.norm(data, axis=1)
@@ -111,10 +133,7 @@ def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
     distances = 1.0 - cos
     weights = np.sqrt(np.exp(-(distances ** 2) / kernel_width ** 2))
 
-    top = np.argsort(probs[0])[-top_labels:][::-1]
-    label = int(top[0])
-    coef, _ = _weighted_ridge(data.astype(np.float64), probs[:, label],
-                              weights)
+    coef, _ = _weighted_ridge(data.astype(np.float64), y, weights)
 
     order = np.argsort(np.abs(coef))[::-1]
     mask = np.zeros(segments.shape, dtype=np.float32)
