@@ -371,3 +371,18 @@ def test_bf16_tolerances_recorded():
                  dtype=jnp.bfloat16)
     rho = spearmanr(v32.ravel(), v16.ravel()).statistic
     assert rho > 0.9, rho
+
+    # generic vmapped adapters under dtype=bf16 (ViT explainer example)
+    vb2 = dataclasses.replace(vb, apply_probed=lambda p, x, pr: model.apply(
+        {"params": p}, x, probes=pr, taps=True))
+    xsv = rs.randn(2, 32, 32, 3).astype(np.float32)
+    tv = np.array([1, 9])
+    kv = np.stack([np.asarray(jax.random.fold_in(jax.random.PRNGKey(5), i))
+                   for i in range(2)])
+    r32 = BT.batch_attribution("vit", "rollout", vb2, xsv, xsv, tv, kv,
+                               img_hw=32)
+    r16 = BT.batch_attribution("vit", "rollout", vb2, xsv, xsv, tv, kv,
+                               img_hw=32, dtype=jnp.bfloat16)
+    for i in range(2):
+        rho = spearmanr(r32[i].ravel(), r16[i].ravel()).statistic
+        assert rho > 0.95, rho

@@ -566,6 +566,16 @@ def batch_attribution(family, name, bundle, xs, trans_imgs, targets, keys,
             extra = jnp.zeros((B, 1))
     else:
         extra = jnp.zeros((B, 1))
-    out = fn(bundle.params, xs, jnp.asarray(targets, jnp.int32),
+    params = bundle.params
+    if dtype is not None and name not in ("agi",):
+        # generic low-precision sweep: the adapters' matmul/conv work runs
+        # on the bf16 MXU path; patch upsamples and abs-sums ride along and
+        # the result is cast back (rank stability covered by
+        # test_batch_attr.test_bf16_tolerances_recorded)
+        params = G._cast_params_cached(bundle, dtype)
+        xs = xs.astype(dtype)
+        if extra.dtype in (jnp.float32, jnp.float64):
+            extra = extra.astype(dtype)
+    out = fn(params, xs, jnp.asarray(targets, jnp.int32),
              jnp.asarray(keys), extra)
-    return np.asarray(out)
+    return np.asarray(out).astype(np.float32)
