@@ -202,12 +202,23 @@ def bench_resnet(extras):
     l1 = lambda i: lime(bundle, np.asarray(imgs01[i % 4]),
                         jax.random.PRNGKey(i))
     l1(0)
+    l1(1)      # warm both segment-count buckets (amortized in a real sweep)
     row("resnet50_lime_attr_per_sec", _host_rate(l1, 2))
     if budget_ok("lime_bf16"):
         l16 = lambda i: lime(bundle, np.asarray(imgs01[i % 4]),
                              jax.random.PRNGKey(i), dtype=jnp.bfloat16)
         l16(0)
+        l16(1)
         row("resnet50_lime_bf16_attr_per_sec", _host_rate(l16, 2))
+    if budget_ok("lime_batch4"):
+        from xai_tpu.methods.lime import lime_batch
+        lkeys = np.stack([np.asarray(jax.random.PRNGKey(i))
+                          for i in range(4)])
+        lb = lambda i: lime_batch(bundle, np.asarray(imgs01[:4]), lkeys,
+                                  dtype=jnp.bfloat16)
+        lb(0)
+        row("resnet50_lime_batch4_bf16_attr_per_sec",
+            _host_rate(lb, 2) * 4)
     from xai_tpu.methods.xrai import xrai
     base_ig = np.asarray(G.ig(bundle, imgs[0], 1, 50, 1.0, 0.0))
     x1 = lambda i: xrai(np.asarray(imgs[i % 4]), base_ig)
@@ -352,8 +363,8 @@ def bench_clip(extras):
     from xai_tpu.methods.clip_surgery import surgery_map
     stxt = bundle.extras["text_embeddings"][:60]
     su = lambda i: surgery_map(bundle, imgs[i % 4], stxt)
-    su(0).block_until_ready()
-    row("clip_b16_surgery_attr_per_sec", _blocked(su, 6))
+    su(0)
+    row("clip_b16_surgery_attr_per_sec", _host_rate(su, 6))
 
     if not budget_ok("vision_heatmap_iba"):
         return

@@ -152,12 +152,25 @@ def test_agi_batch_matches_single(cnn_setup):
         np.testing.assert_allclose(got[i], want, atol=2e-4, rtol=2e-3)
 
 
+def test_lime_batch_matches_single(cnn_setup):
+    from xai_tpu.methods.lime import lime
+    b, _, _, keys = cnn_setup
+    rs = np.random.RandomState(2)
+    imgs01 = rs.rand(B, HW, HW, 3).astype(np.float32)
+    got = BT.batch_attribution("cnn", "lime", b, imgs01, imgs01,
+                               np.zeros(B, int), keys, img_hw=HW)
+    for i in range(B):
+        want = 3.0 * lime(b, imgs01[i], keys[i])
+        np.testing.assert_allclose(got[i], want, atol=1e-6)
+
+
 def test_no_batch_impl_returns_none(cnn_setup):
     b, xs, targets, keys = cnn_setup
-    assert BT.batch_attribution("cnn", "lime", b, xs, xs, targets,
+    assert BT.batch_attribution("cnn", "mda", b, xs, xs, targets,
                                 keys) is None
     assert not BT.has_batch_impl("cnn", "xrai")
     assert BT.has_batch_impl("cnn", "ig")
+    assert BT.has_batch_impl("cnn", "lime")
     assert BT.has_batch_impl("vit", "rollout")
     assert BT.has_batch_impl("clip", "eclip")
 

@@ -492,7 +492,7 @@ _ADAPTERS = {"cnn": _cnn_adapter, "vit": _vit_adapter, "clip": _clip_adapter}
 
 BATCH_NAMES = {
     "cnn": ("ig", "lig", "idg", "idgi", "sg", "agi", "grad", "inp_x_grad",
-            "gbp", "gc", "ggc", "gs", "fa", "occ", "shap", "gig"),
+            "gbp", "gc", "ggc", "gs", "fa", "occ", "shap", "gig", "lime"),
     "vit": ("attn", "grad", "cam_attn", "n_rollout", "rollout", "t_attn",
             "attn_ig", "attn_attr", "bi_attn", "InFlow", "t_attr"),
     "clip": tuple(CLIP_EXTRA_KIND),
@@ -544,6 +544,12 @@ def batch_attribution(family, name, bundle, xs, trans_imgs, targets, keys,
                                        dtype=dtype))
         if name == "agi":
             return agi_batch(bundle, trans_imgs)
+        if name == "lime":
+            from .lime import lime_batch
+            # registry parity: model on the UNNORMALIZED image, mask * 3.0
+            # (the driver's abs-sum over the 3 identical channels)
+            return 3.0 * lime_batch(bundle, np.asarray(trans_imgs), keys,
+                                    dtype=dtype)
 
     make_adapter = _ADAPTERS.get(family)
     if make_adapter is None:

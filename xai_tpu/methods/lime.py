@@ -49,6 +49,102 @@ def _lime_probs_jit(apply_fn, params, img, fudged, seg, rows, chunk,
     return probs[0], probs[:, label], label
 
 
+@functools.partial(jax.jit, static_argnums=(0, 6, 7))
+def _lime_probs_batch_jit(apply_fn, params, imgs, fudged, segs, rows, chunk,
+                          normalize_fn):
+    """Vmapped-over-images form of ``_lime_probs_jit``: imgs [B, H, W, 3],
+    segs [B, H, W], rows [B, S, F] (all images padded to one F bucket).
+    Each ``lax.map`` step builds and scores a [B * chunk] device batch, so
+    B images ride one dispatch instead of B."""
+    B, S = rows.shape[:2]
+
+    def one(rows_c):                                    # [B, chunk, F]
+        def build_img(row, seg, img, fud):
+            on = row[seg]
+            x = jnp.where(on[..., None] == 1, img, fud)
+            if normalize_fn is not None:
+                x = normalize_fn(x)
+            return x
+
+        xb = jax.vmap(lambda rc, seg, img, fud: jax.vmap(
+            lambda r: build_img(r, seg, img, fud))(rc))(
+                rows_c, segs, imgs, fudged)             # [B, chunk, H, W, 3]
+        flat = xb.reshape((-1,) + xb.shape[2:])
+        probs = jax.nn.softmax(
+            apply_fn(params, flat).astype(jnp.float32), axis=-1)
+        return probs.reshape(B, rows_c.shape[1], -1)
+
+    probs = jax.lax.map(
+        one, rows.reshape(B, S // chunk, chunk, -1).transpose(1, 0, 2, 3))
+    probs = probs.transpose(1, 0, 2, 3).reshape(B, S, -1)   # [B, S, C]
+    labels = jnp.argmax(probs[:, 0, :], axis=-1)            # [B]
+    y = jax.vmap(lambda p, l: p[:, l])(probs, labels)       # [B, S]
+    return y
+
+
+def lime_batch(bundle, imgs, keys, num_samples: int = 1000,
+               num_features: int = 5, kernel_width: float = 0.25,
+               hide_color: float = 0.0, chunk: int = 64,
+               normalize_input=None, dtype=None) -> np.ndarray:
+    """Cross-image batched LIME: same per-image semantics as ``lime`` with
+    ``segmenter='device'`` (same host RNG stream per key), but the
+    quickshift stencils and the 1000-sample scoring sweep for all B images
+    are each ONE device dispatch.  imgs: [B, H, W, 3] in [0, 1] host array;
+    keys: [B, 2] uint32 (or PRNG keys).  Returns [B, H, W] binary masks."""
+    from ..ops.quickshift_jax import quickshift_device_batch
+    imgs = np.asarray(imgs, dtype=np.float32)
+    B = imgs.shape[0]
+    segs = quickshift_device_batch(imgs)                    # [B, H, W]
+    n_feats = [int(s.max()) + 1 for s in segs]
+    bucket = max(n_feats)
+    bucket += (-bucket) % 64
+
+    pad = (-num_samples) % chunk
+    rows_np = np.zeros((B, num_samples + pad, bucket), np.int32)
+    datas = []
+    for b in range(B):
+        karr = jnp.asarray(keys[b])
+        if jnp.issubdtype(karr.dtype, jax.dtypes.prng_key):
+            karr = jax.random.key_data(karr)
+        kw = np.asarray(karr).ravel()
+        rs = np.random.RandomState(int(kw[-1]) % (2 ** 31 - 1))
+        data = rs.randint(0, 2, num_samples * n_feats[b]).reshape(
+            (num_samples, n_feats[b]))
+        data[0, :] = 1
+        datas.append(data)
+        rows_np[b, :num_samples, :n_feats[b]] = data
+        rows_np[b, num_samples:, :n_feats[b]] = 1
+
+    params = bundle.params
+    imgs_d = jnp.asarray(imgs)
+    if dtype is not None:
+        from .gradient import _cast_params_cached
+        params = _cast_params_cached(bundle, dtype)
+        imgs_d = imgs_d.astype(dtype)
+    fudged = jnp.full_like(imgs_d, hide_color)
+    y = np.asarray(_lime_probs_batch_jit(
+        bundle.apply, params, imgs_d, fudged, jnp.asarray(segs),
+        jnp.asarray(rows_np), chunk, normalize_input))[:, :num_samples]
+
+    masks = np.zeros(segs.shape, dtype=np.float32)
+    for b in range(B):
+        data = datas[b]
+        norm = np.linalg.norm(data, axis=1)
+        cos = data @ data[0] / np.maximum(
+            norm * np.linalg.norm(data[0]), 1e-12)
+        weights = np.sqrt(np.exp(-((1.0 - cos) ** 2) / kernel_width ** 2))
+        coef, _ = _weighted_ridge(data.astype(np.float64), y[b], weights)
+        order = np.argsort(np.abs(coef))[::-1]
+        count = 0
+        for f in order:
+            if coef[f] > 0:
+                masks[b][segs[b] == f] = 1.0
+                count += 1
+            if count == num_features:
+                break
+    return masks
+
+
 def _weighted_ridge(X, y, w, alpha=1.0):
     """sklearn Ridge(alpha, fit_intercept=True) with sample weights."""
     sw = np.sqrt(w)
@@ -104,17 +200,18 @@ def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
     seg = jnp.asarray(segments)
     imgs_base = jnp.asarray(img)
     fudged = jnp.full_like(imgs_base, hide_color)
-    rows = jnp.asarray(data, dtype=jnp.int32)
 
+    # Pad on HOST: data is already host numpy, and an eager jnp.concatenate
+    # here has an image-dependent shape (n_features varies per image), so it
+    # recompiled a fresh concat program per image (~1.2 s each over the
+    # tunnel).  Bucket the segment count so the fused jit compiles once per
+    # bucket, not once per image.
     pad = (-num_samples) % chunk
-    rows_p = jnp.concatenate([rows, jnp.ones((pad, n_features), jnp.int32)])
-    # bucket the (image-dependent) segment count so the fused jit compiles
-    # once per bucket, not once per image
     col_pad = (-n_features) % 64
-    if col_pad:
-        rows_p = jnp.concatenate(
-            [rows_p, jnp.zeros((rows_p.shape[0], col_pad), jnp.int32)],
-            axis=1)
+    rows_np = np.zeros((num_samples + pad, n_features + col_pad), np.int32)
+    rows_np[:num_samples, :n_features] = data
+    rows_np[num_samples:, :n_features] = 1
+    rows_p = jnp.asarray(rows_np)
 
     params = bundle.params
     if dtype is not None:
