@@ -37,3 +37,27 @@ def test_reveal_batch_forms_agree():
     # step 0 = pure start; final step = all finish
     assert np.allclose(np.asarray(a[0]), np.asarray(start))
     assert np.allclose(np.asarray(a[-1]), np.asarray(finish))
+
+
+def test_pallas_quickshift_matches_xla_interpret():
+    """Pallas stencil parents == XLA patches parents on a structured
+    (tie-free) image; noise images can flip exact density ties (documented
+    in quickshift_pallas.py) so the fixture is smooth gradient + jitter."""
+    from xai_tpu.kernels.quickshift_pallas import quickshift_parents_pallas
+    from xai_tpu.ops.quickshift_jax import _quickshift_device_b
+
+    rs = np.random.RandomState(0)
+    H, w, wd = 48, 6, 6
+    yy, xx = np.mgrid[0:H, 0:H] / H
+    img = np.stack([yy, xx, yy * xx], -1).astype(np.float32)
+    img += 0.05 * rs.rand(H, H, 3).astype(np.float32)
+    imgs = np.stack(
+        [img, np.clip(img * 0.7 + 0.2 * rs.rand(H, H, 3), 0, 1)],
+    ).astype(np.float32)
+    inv2s2, maxd2 = np.float32(1 / 8.0), np.float32(100.0)
+    ref = _quickshift_device_b(jnp.asarray(imgs), w, wd, jnp.float32(0.2),
+                               inv2s2, maxd2)
+    got = quickshift_parents_pallas(jnp.asarray(imgs), inv2s2, maxd2,
+                                    jnp.float32(0.2), w=w, wd=wd,
+                                    interpret=True)
+    assert (np.asarray(ref) == np.asarray(got)).all()
