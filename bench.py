@@ -178,11 +178,10 @@ def bench_resnet(extras):
     a1(0)
     row("resnet50_agi_attr_per_sec", _host_rate(a1, 4))
     ab = lambda i: BT.batch_attribution("cnn", "agi", bundle,
-                                        np.asarray(imgs01[:4]),
-                                        np.asarray(imgs01[:4]),
-                                        np.asarray(targets[:4]), keys[:4])
+                                        np.asarray(imgs01), np.asarray(imgs01),
+                                        np.asarray(targets), keys)
     ab(0)
-    row("resnet50_agi_batch4_attr_per_sec", _host_rate(ab, 3) * 4)
+    row("resnet50_agi_batch8_attr_per_sec", _host_rate(ab, 3) * 8)
 
     if not budget_ok("guided_family"):
         return rate

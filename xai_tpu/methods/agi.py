@@ -92,6 +92,19 @@ def agi_raw(bundle, trans_img, selected, epsilon: float = 0.05,
     return step_grad
 
 
+@jax.jit
+def _agi_post(step_grad):
+    """Channel-mean + [80, 99]-percentile clip/rescale (AGI.py:130-139) ON
+    DEVICE: the raw [..., H, W, 3] deltas are 3x the final map, and the
+    tunnel moves ~8 MB/s — downloading them to run np.percentile cost more
+    than the whole PGD attack.  jnp.percentile uses the same linear
+    interpolation as numpy (f32 vs f64 order stats, diff ~1e-7)."""
+    hm = step_grad.mean(axis=-1)
+    q = jnp.percentile(hm, 80, axis=(-2, -1), keepdims=True)
+    u = jnp.percentile(hm, 99, axis=(-2, -1), keepdims=True)
+    return (jnp.clip(hm, q, u) - q) / (u - q)
+
+
 def agi(bundle, trans_img, epsilon: float = 0.05, topk: int = 1,
         max_iter: int = 20) -> np.ndarray:
     """Driver configuration (evaluatePerturbation.py:119-139): attack the
@@ -103,9 +116,4 @@ def agi(bundle, trans_img, epsilon: float = 0.05, topk: int = 1,
     """
     selected = list(range(0, 999, int(1000 / topk)))
     step_grad = agi_raw(bundle, trans_img, selected, epsilon, max_iter)
-
-    hm = np.asarray(step_grad).mean(axis=-1)        # channel mean
-    q = np.percentile(hm, 80)
-    u = np.percentile(hm, 99)
-    hm = np.clip(hm, q, u)
-    return (hm - q) / (u - q)
+    return np.asarray(_agi_post(step_grad))

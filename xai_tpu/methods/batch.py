@@ -259,13 +259,10 @@ def agi_batch(bundle, trans_imgs, epsilon=0.05, topk=1, max_iter=20):
 
     total = _agi_batch_jit(napply, bundle.params, xs, init_preds,
                            tuple(selected), max_iter, epsilon)
-    hm = np.asarray(total).mean(axis=-1)                # [B, H, W]
-    out = np.empty_like(hm)
-    for i in range(hm.shape[0]):
-        q = np.percentile(hm[i], 80)
-        u = np.percentile(hm[i], 99)
-        out[i] = (np.clip(hm[i], q, u) - q) / (u - q)
-    return np.abs(out)
+    # percentile post stays on device (downloading the [B, H, W, 3] raw
+    # deltas was 3x the bytes of the final maps at ~8 MB/s tunnel BW)
+    from .agi import _agi_post
+    return np.abs(np.asarray(_agi_post(total)))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))

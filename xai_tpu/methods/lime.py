@@ -25,18 +25,21 @@ def _lime_probs_jit(apply_fn, params, img, fudged, seg, rows, chunk,
     """Fused sample scoring: each chunk BUILDS its masked images inside the
     jit (round-2 materialized all 1000 fudged 224^2 images eagerly — a
     ~600 MB round-trip before the forwards even started) and runs the
-    softmax forward.  rows: [S, n_features] 0/1."""
+    softmax forward.  rows: [S, n_features] 0/1.
+
+    The per-pixel on/off plane is ``rows @ one_hot(seg).T`` — a [chunk, F]
+    x [F, HW] matmul on the MXU — rather than a 50k-element ``row[seg]``
+    gather per sample (TPU gathers serialize; the one-hot products are
+    exact 0/1 in any dtype)."""
     n = rows.shape[0]
+    H, W = img.shape[:2]
+    oh = jax.nn.one_hot(seg.reshape(-1), rows.shape[1], dtype=img.dtype)
 
     def one(rows_b):
-        def build(row):
-            on = row[seg]                             # [H, W] 0/1
-            x = jnp.where(on[..., None] == 1, img, fudged)
-            if normalize_fn is not None:
-                x = normalize_fn(x)
-            return x
-
-        xb = jax.vmap(build)(rows_b)
+        on = (rows_b.astype(img.dtype) @ oh.T).reshape(-1, H, W)
+        xb = jnp.where(on[..., None] > 0.5, img, fudged)
+        if normalize_fn is not None:
+            xb = normalize_fn(xb)
         return jax.nn.softmax(
             apply_fn(params, xb).astype(jnp.float32), axis=-1)
 
@@ -57,18 +60,18 @@ def _lime_probs_batch_jit(apply_fn, params, imgs, fudged, segs, rows, chunk,
     Each ``lax.map`` step builds and scores a [B * chunk] device batch, so
     B images ride one dispatch instead of B."""
     B, S = rows.shape[:2]
+    H, W = imgs.shape[1:3]
+    # MXU one-hot matmul instead of a per-sample row[seg] gather (see
+    # _lime_probs_jit)
+    oh = jax.nn.one_hot(segs.reshape(B, -1), rows.shape[-1],
+                        dtype=imgs.dtype)               # [B, HW, F]
 
     def one(rows_c):                                    # [B, chunk, F]
-        def build_img(row, seg, img, fud):
-            on = row[seg]
-            x = jnp.where(on[..., None] == 1, img, fud)
-            if normalize_fn is not None:
-                x = normalize_fn(x)
-            return x
-
-        xb = jax.vmap(lambda rc, seg, img, fud: jax.vmap(
-            lambda r: build_img(r, seg, img, fud))(rc))(
-                rows_c, segs, imgs, fudged)             # [B, chunk, H, W, 3]
+        on = jnp.einsum("bcf,bnf->bcn", rows_c.astype(imgs.dtype),
+                        oh).reshape(B, -1, H, W)
+        xb = jnp.where(on[..., None] > 0.5, imgs[:, None], fudged[:, None])
+        if normalize_fn is not None:
+            xb = normalize_fn(xb)
         flat = xb.reshape((-1,) + xb.shape[2:])
         probs = jax.nn.softmax(
             apply_fn(params, flat).astype(jnp.float32), axis=-1)
@@ -94,13 +97,20 @@ def lime_batch(bundle, imgs, keys, num_samples: int = 1000,
     from ..ops.quickshift_jax import quickshift_device_batch
     imgs = np.asarray(imgs, dtype=np.float32)
     B = imgs.shape[0]
+    # Pallas stencil parents -> one int32 download -> host compaction.
+    # (A fully on-device compaction was tried and measured SLOWER: TPU
+    # sort/searchsorted/gather on 50k-element maps cost ~96 ms vs ~45 ms
+    # download + ~8 ms host numpy; uint8 downloads are pathologically slow
+    # over the tunnel, so transfers stay int32.)
     segs = quickshift_device_batch(imgs)                    # [B, H, W]
     n_feats = [int(s.max()) + 1 for s in segs]
     bucket = max(n_feats)
     bucket += (-bucket) % 64
 
     pad = (-num_samples) % chunk
-    rows_np = np.zeros((B, num_samples + pad, bucket), np.int32)
+    # int8 rows: 4x smaller upload, the gather/compare in the jit is
+    # dtype-agnostic
+    rows_np = np.zeros((B, num_samples + pad, bucket), np.int8)
     datas = []
     for b in range(B):
         karr = jnp.asarray(keys[b])
@@ -182,6 +192,7 @@ def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
     else:
         segments = quickshift(img, ratio=0.2, kernel_size=4.0,
                               max_dist=200.0)
+    seg = jnp.asarray(segments)
     n_features = int(segments.max()) + 1
 
     # seed host numpy straight from the key's raw words — the former
@@ -197,7 +208,6 @@ def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
     data[0, :] = 1
 
     # per-chunk masked-image build + forward, all inside ONE jit
-    seg = jnp.asarray(segments)
     imgs_base = jnp.asarray(img)
     fudged = jnp.full_like(imgs_base, hide_color)
 
@@ -208,7 +218,7 @@ def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
     # bucket, not once per image.
     pad = (-num_samples) % chunk
     col_pad = (-n_features) % 64
-    rows_np = np.zeros((num_samples + pad, n_features + col_pad), np.int32)
+    rows_np = np.zeros((num_samples + pad, n_features + col_pad), np.int8)
     rows_np[:num_samples, :n_features] = data
     rows_np[num_samples:, :n_features] = 1
     rows_p = jnp.asarray(rows_np)

@@ -134,6 +134,13 @@ def _compact(parent, H, W):
     return labels.reshape(H, W).astype(np.int32)
 
 
+# NOTE: a fully on-device compaction (pointer-jump fori_loop + sort +
+# searchsorted) was implemented and measured SLOWER than download+numpy on
+# the chip: ~96 ms vs ~45 ms (int32 download) + ~8 ms (host) for a batch
+# of four 224px maps — TPU gathers/sorts on 50k-element int maps don't
+# pay for the saved transfer.  Host compaction is the operating point.
+
+
 def quickshift_device_batch(images, ratio: float = 0.2,
                             kernel_size: float = 4.0,
                             max_dist: float = 200.0) -> np.ndarray:
@@ -154,12 +161,5 @@ def quickshift_device_batch(images, ratio: float = 0.2,
 def quickshift_device(image, ratio: float = 0.2, kernel_size: float = 4.0,
                       max_dist: float = 200.0) -> np.ndarray:
     """[H, W, 3] float image in [0, 1] -> [H, W] int32 segment labels."""
-    img = jnp.asarray(image, jnp.float32)
-    H, W = img.shape[:2]
-    w = max(1, int(3.0 * kernel_size))
-    wd = min(w, int(np.ceil(max_dist)))
-    parent = np.asarray(_parents_batch(
-        img[None], w, wd, jnp.float32(ratio),
-        jnp.float32(1.0 / (2.0 * kernel_size * kernel_size)),
-        jnp.float32(max_dist * max_dist))).reshape(-1)
-    return _compact(parent, H, W)
+    return quickshift_device_batch(np.asarray(image)[None], ratio,
+                                   kernel_size, max_dist)[0]
