@@ -25,6 +25,29 @@ import numpy as np
 EPSILON = 1e-9
 
 
+def _kth_smallest_nonneg(a_flat, k: int):
+    """EXACT k-th order statistic (0-based — torch.quantile 'lower') of a
+    flat array of NON-NEGATIVE floats (inf allowed), without sorting.
+
+    Binary search on the int32 bit pattern, which is order-isomorphic to
+    the float order for non-negative floats: 31 fused count-reductions
+    (each one HBM pass) instead of an O(N log^2 N) on-chip sort — the sort
+    of the 150k-element |grad| map per inner path-search iteration was
+    ~10x the cost of everything else in the loop body."""
+    ai = jax.lax.bitcast_convert_type(a_flat, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2                 # int32-overflow-safe
+        cnt = jnp.sum(ai <= mid)
+        take = cnt >= k + 1
+        return jnp.where(take, lo, mid + 1), jnp.where(take, mid, hi)
+
+    lo, _ = jax.lax.fori_loop(
+        0, 31, body, (jnp.int32(0), jnp.int32(0x7F800000)))
+    return jax.lax.bitcast_convert_type(lo, jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def _gig_device(apply_fn, params, x_input, steps, fraction, max_dist,
                 x_baseline, target):
@@ -67,7 +90,7 @@ def _gig_device(apply_fn, params, x_input, steps, fraction, max_dist,
 
             grad_iter = jnp.where(xc1 == x_max, jnp.inf, grad_actual)
             a = jnp.abs(grad_iter)
-            thr = jnp.sort(a.reshape(-1))[q_idx]
+            thr = _kth_smallest_nonneg(a.reshape(-1), q_idx)
             s = (a <= thr) & (grad_iter != jnp.inf)
 
             l1_s = (jnp.abs(xc1 - x_max) * s).sum()

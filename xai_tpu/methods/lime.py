@@ -5,8 +5,25 @@ Pipeline (driver config, limeAttr.py:23-36): quickshift segments
 (kernel_size=4, max_dist=200, ratio=0.2) -> 1000 random binary segment masks
 (first = all-on) -> fudged images (off segments -> hide_color 0) -> batched
 softmax probs on device -> cosine-distance exponential kernel weights
-(width 0.25) -> weighted Ridge (alpha=1, intercept) per top-5 label ->
-binary mask of the top-5 positive-weight segments of the top label.
+(width 0.25) -> weighted Ridge (alpha=1, intercept) per top label ->
+binary mask of the top positive-weight segments of the top label.
+
+TPU design: the WHOLE pipeline is one fused jit per image batch —
+quickshift stencils (Pallas on TPU), sort-free label compaction
+(cumsum-of-roots), on-device mask sampling (threefry), the chunked
+scoring sweep, the weighted-ridge normal-equations solve ([F, F] SPD,
+F = 512 bucket), top-positive-segment selection, and mask rendering.
+The only transfers are the [B, H, W, 3] image upload and a bit-packed
+[B, H, W/32] mask download (~25 KB for a 224px batch of 4).  Round 2
+moved ~2.6 MB/batch over the ~8 MB/s tunnel (parents down, segments up,
+sample rows up, probs down) — the transfer bill alone capped LIME at
+~4 attr/s; keeping every intermediate on the chip removes it entirely.
+
+Sampling uses JAX threefry streams (deterministic per key).  The
+reference's np.random masks are a different RNG stream by construction;
+parity with lime_base.py is distributional + the exact ridge algebra
+(test_reference_parity2.py::test_lime_ridge_matches_sklearn drives the
+host mirror `_weighted_ridge` against sklearn's Ridge).
 """
 from __future__ import annotations
 
@@ -16,150 +33,183 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..native import quickshift
+# segment-count bucket: quickshift(kernel_size=4, max_dist=200) yields
+# ~50-250 segments on 224px natural images; 512 keeps one compile for any
+# realistic image (overflow segments merge into the last bucket entry)
+_F_MAX = 512
+
+# driver quickshift config (limeAttr.py:23-36)
+_QS_RATIO = 0.2
+_QS_KERNEL = 4.0
+_QS_MAXDIST = 200.0
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 7))
-def _lime_probs_jit(apply_fn, params, img, fudged, seg, rows, chunk,
-                    normalize_fn):
-    """Fused sample scoring: each chunk BUILDS its masked images inside the
-    jit (round-2 materialized all 1000 fudged 224^2 images eagerly — a
-    ~600 MB round-trip before the forwards even started) and runs the
-    softmax forward.  rows: [S, n_features] 0/1.
+@functools.partial(jax.jit,
+                   static_argnums=(0, 4, 5, 6, 7, 8, 9, 10, 11))
+def _lime_fused_jit(apply_fn, params, imgs, keys_u32, normalize_fn,
+                    S, chunk, num_features, w, wd, pack, fwd_dtype,
+                    hide_color, kernel_width, alpha):
+    """imgs: [B, H, W, 3] f32 in [0, 1]; keys_u32: [B, 2] uint32 threefry
+    key data.  Returns bit-packed [B, H, W//32] uint32 masks (``pack``)
+    or [B, H, W] f32 masks."""
+    from ..ops.quickshift_jax import (_parents_batch,
+                                      parents_to_labels_batch)
 
-    The per-pixel on/off plane is ``rows @ one_hot(seg).T`` — a [chunk, F]
-    x [F, HW] matmul on the MXU — rather than a 50k-element ``row[seg]``
-    gather per sample (TPU gathers serialize; the one-hot products are
-    exact 0/1 in any dtype)."""
-    n = rows.shape[0]
-    H, W = img.shape[:2]
-    oh = jax.nn.one_hot(seg.reshape(-1), rows.shape[1], dtype=img.dtype)
+    B, H, W = imgs.shape[:3]
+    F = _F_MAX
 
-    def one(rows_b):
-        on = (rows_b.astype(img.dtype) @ oh.T).reshape(-1, H, W)
-        xb = jnp.where(on[..., None] > 0.5, img, fudged)
-        if normalize_fn is not None:
-            xb = normalize_fn(xb)
-        return jax.nn.softmax(
-            apply_fn(params, xb).astype(jnp.float32), axis=-1)
+    # 1. segmentation (stencils + sort-free compaction, all on device)
+    parents = _parents_batch(
+        imgs, w, wd, jnp.float32(_QS_RATIO),
+        jnp.float32(1.0 / (2.0 * _QS_KERNEL * _QS_KERNEL)),
+        jnp.float32(_QS_MAXDIST * _QS_MAXDIST))
+    labels, counts = parents_to_labels_batch(parents)       # [B, HW], [B]
+    labels = jnp.minimum(labels, F - 1)
 
-    probs = jax.lax.map(one, rows.reshape(
-        (n // chunk, chunk) + rows.shape[1:])).reshape(n, -1)
-    # select the explained label ON DEVICE: the full [S, n_classes] probs
-    # matrix is ~4 MB and the device->host link (the axon tunnel) is slow;
-    # the ridge only needs the top-label column + the all-on row
-    label = jnp.argmax(probs[0])
-    return probs[0], probs[:, label], label
+    # 2. per-image binary sample rows (row 0 = all-on, lime_image.py:175)
+    def sample(k, cnt):
+        key = jax.random.wrap_key_data(k, impl="threefry2x32")
+        r = jax.random.randint(key, (S, F), 0, 2,
+                               dtype=jnp.int32).astype(jnp.int8)
+        colok = (jnp.arange(F) < cnt).astype(jnp.int8)
+        r = r * colok
+        return r.at[0].set(colok)
 
+    rows = jax.vmap(sample)(keys_u32, counts)               # [B, S, F]
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 7))
-def _lime_probs_batch_jit(apply_fn, params, imgs, fudged, segs, rows, chunk,
-                          normalize_fn):
-    """Vmapped-over-images form of ``_lime_probs_jit``: imgs [B, H, W, 3],
-    segs [B, H, W], rows [B, S, F] (all images padded to one F bucket).
-    Each ``lax.map`` step builds and scores a [B * chunk] device batch, so
-    B images ride one dispatch instead of B."""
-    B, S = rows.shape[:2]
-    H, W = imgs.shape[1:3]
-    # MXU one-hot matmul instead of a per-sample row[seg] gather (see
-    # _lime_probs_jit)
-    oh = jax.nn.one_hot(segs.reshape(B, -1), rows.shape[-1],
-                        dtype=imgs.dtype)               # [B, HW, F]
+    # 3. chunked scoring sweep: each step BUILDS its masked images on
+    # device and runs the softmax forward.  The per-pixel on/off plane is
+    # ``rows @ one_hot(labels)^T`` — a [chunk, F] x [F, HW] MXU matmul
+    # instead of a 50k-element gather per sample (TPU gathers serialize;
+    # the one-hot products are exact 0/1 in any dtype).
+    pad = (-S) % chunk
+    rows_p = jnp.concatenate(
+        [rows, jnp.zeros((B, pad, F), jnp.int8)], axis=1)
+    oh = jax.nn.one_hot(labels, F, dtype=fwd_dtype)         # [B, HW, F]
+    imgs_c = imgs.astype(fwd_dtype)
+    fudged = jnp.full_like(imgs_c, hide_color)
 
-    def one(rows_c):                                    # [B, chunk, F]
-        on = jnp.einsum("bcf,bnf->bcn", rows_c.astype(imgs.dtype),
+    def one(rows_c):                                        # [B, chunk, F]
+        on = jnp.einsum("bcf,bnf->bcn", rows_c.astype(fwd_dtype),
                         oh).reshape(B, -1, H, W)
-        xb = jnp.where(on[..., None] > 0.5, imgs[:, None], fudged[:, None])
+        xb = jnp.where(on[..., None] > 0.5, imgs_c[:, None],
+                       fudged[:, None])
         if normalize_fn is not None:
             xb = normalize_fn(xb)
         flat = xb.reshape((-1,) + xb.shape[2:])
-        probs = jax.nn.softmax(
+        pr = jax.nn.softmax(
             apply_fn(params, flat).astype(jnp.float32), axis=-1)
-        return probs.reshape(B, rows_c.shape[1], -1)
+        return pr.reshape(B, rows_c.shape[1], -1)
 
     probs = jax.lax.map(
-        one, rows.reshape(B, S // chunk, chunk, -1).transpose(1, 0, 2, 3))
-    probs = probs.transpose(1, 0, 2, 3).reshape(B, S, -1)   # [B, S, C]
-    labels = jnp.argmax(probs[:, 0, :], axis=-1)            # [B]
-    y = jax.vmap(lambda p, l: p[:, l])(probs, labels)       # [B, S]
-    return y
+        one, rows_p.reshape(B, (S + pad) // chunk, chunk,
+                            F).transpose(1, 0, 2, 3))
+    probs = probs.transpose(1, 0, 2, 3).reshape(B, S + pad, -1)[:, :S]
+    cls = jnp.argmax(probs[:, 0, :], axis=-1)               # [B]
+    y = jax.vmap(lambda p, l: p[:, l])(probs, cls)          # [B, S]
+
+    # 4. weighted ridge (alpha=1, intercept) via normal equations; padded
+    # columns are all-zero -> A's diagonal alpha forces their coef to 0
+    def ridge(r, yb, cnt):
+        X = r.astype(jnp.float32)
+        nrm = jnp.linalg.norm(X, axis=1)
+        cos = (X @ (jnp.arange(F) < cnt).astype(jnp.float32)) / \
+            jnp.maximum(nrm * jnp.sqrt(cnt.astype(jnp.float32)), 1e-12)
+        wgt = jnp.sqrt(jnp.exp(-((1.0 - cos) ** 2) / kernel_width ** 2))
+        wsum = wgt.sum()
+        xm = (X * wgt[:, None]).sum(0) / wsum
+        ym = (yb * wgt).sum() / wsum
+        sw = jnp.sqrt(wgt)
+        Xc = (X - xm) * sw[:, None]
+        yc = (yb - ym) * sw
+        A = Xc.T @ Xc + alpha * jnp.eye(F, dtype=jnp.float32)
+        return jax.scipy.linalg.solve(A, Xc.T @ yc, assume_a="pos")
+
+    coef = jax.vmap(ridge)(rows, y, counts)                 # [B, F]
+
+    # 5. top-|coef| positive segments until num_features (lime tail)
+    def select(c):
+        order = jnp.argsort(-jnp.abs(c))
+        pos = c[order] > 0
+        keep = pos & (jnp.cumsum(pos.astype(jnp.int32)) <= num_features)
+        return jnp.zeros((F,), jnp.float32).at[order].set(
+            keep.astype(jnp.float32))
+
+    chosen = jax.vmap(select)(coef)                         # [B, F]
+    mask = jnp.take_along_axis(chosen, labels, axis=1).reshape(B, H, W)
+
+    if not pack:
+        return mask
+    bits = mask.reshape(B, H, W // 32, 32).astype(jnp.uint32)
+    weights = jnp.asarray(
+        np.uint32(1) << np.arange(32, dtype=np.uint32), jnp.uint32)
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+
+
+def _key_words(key) -> np.ndarray:
+    """PRNGKey / raw [2] uint32 / typed key -> [2] uint32 host words."""
+    karr = jnp.asarray(key)
+    if jnp.issubdtype(karr.dtype, jax.dtypes.prng_key):
+        karr = jax.random.key_data(karr)
+    return np.asarray(karr, np.uint32).ravel()[-2:]
 
 
 def lime_batch(bundle, imgs, keys, num_samples: int = 1000,
                num_features: int = 5, kernel_width: float = 0.25,
                hide_color: float = 0.0, chunk: int = 64,
                normalize_input=None, dtype=None) -> np.ndarray:
-    """Cross-image batched LIME: same per-image semantics as ``lime`` with
-    ``segmenter='device'`` (same host RNG stream per key), but the
-    quickshift stencils and the 1000-sample scoring sweep for all B images
-    are each ONE device dispatch.  imgs: [B, H, W, 3] in [0, 1] host array;
-    keys: [B, 2] uint32 (or PRNG keys).  Returns [B, H, W] binary masks."""
-    from ..ops.quickshift_jax import quickshift_device_batch
+    """Cross-image batched LIME, fully on device (see module docstring).
+    imgs: [B, H, W, 3] in [0, 1]; keys: B PRNG keys (any form).  Returns
+    [B, H, W] binary masks."""
     imgs = np.asarray(imgs, dtype=np.float32)
-    B = imgs.shape[0]
-    # Pallas stencil parents -> one int32 download -> host compaction.
-    # (A fully on-device compaction was tried and measured SLOWER: TPU
-    # sort/searchsorted/gather on 50k-element maps cost ~96 ms vs ~45 ms
-    # download + ~8 ms host numpy; uint8 downloads are pathologically slow
-    # over the tunnel, so transfers stay int32.)
-    segs = quickshift_device_batch(imgs)                    # [B, H, W]
-    n_feats = [int(s.max()) + 1 for s in segs]
-    bucket = max(n_feats)
-    bucket += (-bucket) % 64
-
-    pad = (-num_samples) % chunk
-    # int8 rows: 4x smaller upload, the gather/compare in the jit is
-    # dtype-agnostic
-    rows_np = np.zeros((B, num_samples + pad, bucket), np.int8)
-    datas = []
-    for b in range(B):
-        karr = jnp.asarray(keys[b])
-        if jnp.issubdtype(karr.dtype, jax.dtypes.prng_key):
-            karr = jax.random.key_data(karr)
-        kw = np.asarray(karr).ravel()
-        rs = np.random.RandomState(int(kw[-1]) % (2 ** 31 - 1))
-        data = rs.randint(0, 2, num_samples * n_feats[b]).reshape(
-            (num_samples, n_feats[b]))
-        data[0, :] = 1
-        datas.append(data)
-        rows_np[b, :num_samples, :n_feats[b]] = data
-        rows_np[b, num_samples:, :n_feats[b]] = 1
+    B, H, W = imgs.shape[:3]
+    keys_u32 = np.stack([_key_words(k) for k in np.asarray(keys)])
 
     params = bundle.params
-    imgs_d = jnp.asarray(imgs)
+    fwd_dtype = jnp.float32
     if dtype is not None:
         from .gradient import _cast_params_cached
         params = _cast_params_cached(bundle, dtype)
-        imgs_d = imgs_d.astype(dtype)
-    fudged = jnp.full_like(imgs_d, hide_color)
-    y = np.asarray(_lime_probs_batch_jit(
-        bundle.apply, params, imgs_d, fudged, jnp.asarray(segs),
-        jnp.asarray(rows_np), chunk, normalize_input))[:, :num_samples]
+        fwd_dtype = dtype
 
-    masks = np.zeros(segs.shape, dtype=np.float32)
-    for b in range(B):
-        data = datas[b]
-        norm = np.linalg.norm(data, axis=1)
-        cos = data @ data[0] / np.maximum(
-            norm * np.linalg.norm(data[0]), 1e-12)
-        weights = np.sqrt(np.exp(-((1.0 - cos) ** 2) / kernel_width ** 2))
-        coef, _ = _weighted_ridge(data.astype(np.float64), y[b], weights)
-        order = np.argsort(np.abs(coef))[::-1]
-        count = 0
-        for f in order:
-            if coef[f] > 0:
-                masks[b][segs[b] == f] = 1.0
-                count += 1
-            if count == num_features:
-                break
-    return masks
+    w = max(1, int(3.0 * _QS_KERNEL))
+    wd = min(w, int(np.ceil(_QS_MAXDIST)))
+    pack = (W % 32 == 0)
+    out = np.asarray(_lime_fused_jit(
+        bundle.apply, params, jnp.asarray(imgs), jnp.asarray(keys_u32),
+        normalize_input, int(num_samples), int(chunk), int(num_features),
+        w, wd, pack, fwd_dtype, float(hide_color), float(kernel_width),
+        1.0))
+    if not pack:
+        return out
+    bits = (out[..., None] >> np.arange(32, dtype=np.uint32)) & 1
+    return bits.astype(np.float32).reshape(B, H, W)
+
+
+def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
+         num_features: int = 5, kernel_width: float = 0.25,
+         hide_color: float = 0.0, chunk: int = 100,
+         normalize_input=None, dtype=None,
+         segmenter: str = "device") -> np.ndarray:
+    """img: [H, W, 3] float in [0, 1] (the driver feeds the *unnormalized*
+    trans_img; the reference feeds raw [0,1] images straight to the model —
+    ``normalize_input`` is applied if the bundle expects normalized input).
+    Returns [H, W] binary mask of the top positive segments.  Delegates to
+    the fused batch path with B=1 so single and batched attributions are
+    numerically identical."""
+    del top_labels, segmenter      # API compat; the top label's mask is used
+    return lime_batch(bundle, np.asarray(img)[None], [key],
+                      num_samples=num_samples, num_features=num_features,
+                      kernel_width=kernel_width, hide_color=hide_color,
+                      chunk=chunk, normalize_input=normalize_input,
+                      dtype=dtype)[0]
 
 
 def _weighted_ridge(X, y, w, alpha=1.0):
-    """sklearn Ridge(alpha, fit_intercept=True) with sample weights."""
+    """sklearn Ridge(alpha, fit_intercept=True) with sample weights — host
+    mirror of the on-device solve (kept as the sklearn-parity oracle
+    surface, test_reference_parity2.py)."""
     sw = np.sqrt(w)
-    Xw = X * sw[:, None]
-    yw = y * sw
     # center by weighted means (intercept handling)
     xm = (X * w[:, None]).sum(0) / w.sum()
     ym = (y * w).sum() / w.sum()
@@ -169,86 +219,3 @@ def _weighted_ridge(X, y, w, alpha=1.0):
     coef = np.linalg.solve(A, Xc.T @ yc)
     intercept = ym - xm @ coef
     return coef, intercept
-
-
-def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
-         num_features: int = 5, kernel_width: float = 0.25,
-         hide_color: float = 0.0, chunk: int = 100,
-         normalize_input=None, dtype=None,
-         segmenter: str = "device") -> np.ndarray:
-    """img: [H, W, 3] float in [0, 1] (the driver feeds the *unnormalized*
-    trans_img, limeAttr batch_predict re-normalizes implicitly via model —
-    actually the reference feeds raw [0,1] images straight to the model;
-    we apply ``normalize_input`` if given to match the bundle's expectations).
-    Returns [H, W] binary mask of the top positive segments."""
-    img = np.asarray(img, dtype=np.float32)
-    if segmenter == "device":
-        # quickshift's density + parent stencils run on the chip (~5 ms vs
-        # ~150 ms at this host's single-core exp wall); identical segments
-        # (tests/test_segment_methods.py device-vs-native check)
-        from ..ops.quickshift_jax import quickshift_device
-        segments = quickshift_device(img, ratio=0.2, kernel_size=4.0,
-                                     max_dist=200.0)
-    else:
-        segments = quickshift(img, ratio=0.2, kernel_size=4.0,
-                              max_dist=200.0)
-    seg = jnp.asarray(segments)
-    n_features = int(segments.max()) + 1
-
-    # seed host numpy straight from the key's raw words — the former
-    # jax.random.randint was an eager device op, i.e. one full tunnel
-    # round-trip per attribution just to make a seed
-    karr = jnp.asarray(key)
-    if jnp.issubdtype(karr.dtype, jax.dtypes.prng_key):
-        karr = jax.random.key_data(karr)
-    kw = np.asarray(karr).ravel()
-    rs = np.random.RandomState(int(kw[-1]) % (2 ** 31 - 1))
-    data = rs.randint(0, 2, num_samples * n_features).reshape(
-        (num_samples, n_features))
-    data[0, :] = 1
-
-    # per-chunk masked-image build + forward, all inside ONE jit
-    imgs_base = jnp.asarray(img)
-    fudged = jnp.full_like(imgs_base, hide_color)
-
-    # Pad on HOST: data is already host numpy, and an eager jnp.concatenate
-    # here has an image-dependent shape (n_features varies per image), so it
-    # recompiled a fresh concat program per image (~1.2 s each over the
-    # tunnel).  Bucket the segment count so the fused jit compiles once per
-    # bucket, not once per image.
-    pad = (-num_samples) % chunk
-    col_pad = (-n_features) % 64
-    rows_np = np.zeros((num_samples + pad, n_features + col_pad), np.int8)
-    rows_np[:num_samples, :n_features] = data
-    rows_np[num_samples:, :n_features] = 1
-    rows_p = jnp.asarray(rows_np)
-
-    params = bundle.params
-    if dtype is not None:
-        from .gradient import _cast_params_cached
-        params = _cast_params_cached(bundle, dtype)
-        imgs_base = imgs_base.astype(dtype)
-        fudged = fudged.astype(dtype)
-    probs0, y, _label = _lime_probs_jit(bundle.apply, params, imgs_base,
-                                        fudged, seg, rows_p, chunk,
-                                        normalize_input)
-    y = np.asarray(y)[:num_samples]
-
-    # cosine distances to the all-on row
-    norm = np.linalg.norm(data, axis=1)
-    cos = data @ data[0] / np.maximum(norm * np.linalg.norm(data[0]), 1e-12)
-    distances = 1.0 - cos
-    weights = np.sqrt(np.exp(-(distances ** 2) / kernel_width ** 2))
-
-    coef, _ = _weighted_ridge(data.astype(np.float64), y, weights)
-
-    order = np.argsort(np.abs(coef))[::-1]
-    mask = np.zeros(segments.shape, dtype=np.float32)
-    count = 0
-    for f in order:
-        if coef[f] > 0:
-            mask[segments == f] = 1.0
-            count += 1
-        if count == num_features:
-            break
-    return mask

@@ -134,11 +134,34 @@ def _compact(parent, H, W):
     return labels.reshape(H, W).astype(np.int32)
 
 
-# NOTE: a fully on-device compaction (pointer-jump fori_loop + sort +
-# searchsorted) was implemented and measured SLOWER than download+numpy on
-# the chip: ~96 ms vs ~45 ms (int32 download) + ~8 ms (host) for a batch
-# of four 224px maps — TPU gathers/sorts on 50k-element int maps don't
-# pay for the saved transfer.  Host compaction is the operating point.
+# NOTE: a fully on-device compaction via sort + searchsorted was measured
+# SLOWER than download+numpy (~96 ms vs ~45 ms download + ~8 ms host for a
+# batch of four 224px maps), so the *standalone* quickshift entry points
+# keep host compaction.  The sort-free form below (cumsum-of-roots rank,
+# O(N) with one gather) is cheap enough to run on device and exists for
+# consumers that keep the labels on the chip (the fused LIME pipeline) —
+# for them the download+reupload would cost more than the compaction.
+
+
+def _labels_from_parents(parent_flat):
+    """[N] int32 parent pointers -> (labels [N] int32, n_roots int32).
+
+    Pointer-jumps to roots (16 doublings cover chains up to 2^16 = 65536
+    pixels), then assigns consecutive labels in ascending-root-index order
+    via ``cumsum(is_root)`` — bit-identical to the host ``np.unique``
+    compaction in ``_compact`` (unique sorts its roots the same way)."""
+    n = parent_flat.shape[0]
+    p = jax.lax.fori_loop(0, 16, lambda _, q: jnp.take(q, q), parent_flat)
+    is_root = p == jnp.arange(n, dtype=p.dtype)
+    rank = jnp.cumsum(is_root.astype(jnp.int32))
+    return (jnp.take(rank, p) - 1).astype(jnp.int32), rank[-1]
+
+
+def parents_to_labels_batch(parents):
+    """[B, H, W] int32 parent maps -> (labels [B, H*W], counts [B]).
+    Pure jnp — intended to be called inside a caller's jit."""
+    B = parents.shape[0]
+    return jax.vmap(_labels_from_parents)(parents.reshape(B, -1))
 
 
 def quickshift_device_batch(images, ratio: float = 0.2,
