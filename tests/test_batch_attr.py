@@ -399,3 +399,60 @@ def test_bf16_tolerances_recorded():
     for i in range(2):
         rho = spearmanr(r32[i].ravel(), r16[i].ravel()).statistic
         assert rho > 0.95, rho
+
+
+def test_vit_cx_batch_matches_single(vit_setup):
+    """vit_cx_batch == per-image vit_cx when each image is fed the same
+    noise slice the batch draw produces (clustering is bit-identical: the
+    triangle-packed similarity download carries the exact same values)."""
+    from xai_tpu.methods.vit_cx import vit_cx, vit_cx_batch
+
+    b, _, _, _ = vit_setup
+    rs = np.random.RandomState(4)
+    xs = rs.randn(3, 32, 32, 3).astype(np.float32)
+    key = jax.random.PRNGKey(21)
+
+    got = vit_cx_batch(b, xs, key=key)
+    assert got.shape == (3, 32, 32)
+
+    # reproduce the batch path's noise draw; tiny ViT: D=32 masks -> every
+    # image's cluster count K <= 32 -> one shared Kp=64 bucket
+    Kp = 64
+    noise = np.asarray(jax.random.normal(key, (3, Kp, 32, 32, 3)) * 0.1)
+    for i in range(3):
+        m1, tri, probs0 = __import__(
+            "xai_tpu.methods.vit_cx", fromlist=["x"])._masks_and_sim_jit(
+                b.apply_taps, b.params, jnp.asarray(xs[i])[None], 32)
+        from xai_tpu.methods.vit_cx import _cluster_host
+        labels = _cluster_host(np.asarray(tri), m1.shape[0], 0.1)
+        K = int(labels.max()) + 1
+        want = vit_cx(b, xs[i], noise=noise[i, :K])
+        np.testing.assert_allclose(got[i], want, atol=5e-5, rtol=1e-4)
+
+
+def test_vit_cx_cluster_matches_sklearn():
+    """_cluster_host (scipy linkage + transliterated _hc_cut) must be
+    label-for-label identical to the reference's sklearn call, including
+    on tie-rich matrices (quantized distances)."""
+    from sklearn.cluster import AgglomerativeClustering
+
+    from xai_tpu.methods.vit_cx import _cluster_host
+
+    rs = np.random.RandomState(0)
+    for trial in range(8):
+        D = 100 if trial < 4 else 300
+        m = rs.rand(D, D).astype(np.float32)
+        if trial % 2:
+            m = np.round(m * 8) / 8          # force merge-distance ties
+        sym = (m + m.T) / 2
+        iu, ju = np.triu_indices(D, k=1)
+        sim = 1.0 - sym                       # _cluster_host takes sims
+        tri = sim[iu, ju]
+        thr = 0.1 if trial % 3 else 0.4
+        dist = sym.copy()
+        np.fill_diagonal(dist, 0.0)
+        want = AgglomerativeClustering(
+            n_clusters=None, distance_threshold=thr,
+            metric="precomputed", linkage="complete").fit(dist).labels_
+        got = _cluster_host(tri, D, thr)
+        np.testing.assert_array_equal(got, want)

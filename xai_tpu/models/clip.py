@@ -75,15 +75,18 @@ class CLIPAttention(nn.Module):
         qkv = nn.Dense(3 * self.dim, name="in_proj")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        # f32 logits+softmax in f32 mode (reference parity); full-bf16
+        # attention in the opt-in bf16 fast path (see vit.Attention)
+        pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
         logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                            preferred_element_type=jnp.float32) * hd ** -0.5
+                            preferred_element_type=pet) * hd ** -0.5
         if mask is not None:
-            logits = logits + mask
-        attn = jax.nn.softmax(logits, axis=-1)
+            logits = logits + mask.astype(logits.dtype)
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         if probe is not None:
-            attn = attn + probe
+            attn = attn + probe.astype(x.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=pet).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         out = nn.Dense(self.dim, name="out_proj")(out)
         return out, {"attn": attn, "q": q, "k": k, "v": v}

@@ -46,12 +46,13 @@ class SRAttention(nn.Module):
         kv = kv.reshape(B, M, 2, self.num_heads, hd)
         k, v = kv[:, :, 0].transpose(0, 2, 1, 3), \
             kv[:, :, 1].transpose(0, 2, 1, 3)
+        pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
         attn = jax.nn.softmax(
             jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                       preferred_element_type=jnp.float32) * hd ** -0.5,
-            axis=-1)
+                       preferred_element_type=pet) * hd ** -0.5,
+            axis=-1).astype(x.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=pet).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         return nn.Dense(self.dim, name="proj")(out)
 

@@ -47,8 +47,9 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(nW, N, 3, self.num_heads, hd)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         scale = hd ** -0.5 if self.scale is None else self.scale
+        pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
         attn = jnp.einsum("whnd,whmd->whnm", q, k,
-                          preferred_element_type=jnp.float32) * scale
+                          preferred_element_type=pet) * scale
 
         table = self.param("rel_bias_table", nn.initializers.normal(0.02),
                            ((2 * self.window - 1) ** 2, self.num_heads))
@@ -58,11 +59,11 @@ class WindowAttention(nn.Module):
         if mask is not None:
             nm = mask.shape[0]
             attn = attn.reshape(nW // nm, nm, self.num_heads, N, N)
-            attn = attn + mask[None, :, None]
+            attn = attn + mask.astype(attn.dtype)[None, :, None]
             attn = attn.reshape(nW, self.num_heads, N, N)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
         out = jnp.einsum("whnm,whmd->whnd", attn, v,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=pet).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(nW, N, C)
         return nn.Dense(self.dim, name="proj")(out)
 

@@ -75,15 +75,23 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        # The attention score tensor [B, H, N, N] is the HBM hot spot of the
+        # whole tower (2.4 GB/fwd at batch 128 in f32).  In f32 mode keep
+        # exact f32 logits+softmax (parity with the reference).  In the
+        # opt-in bf16 fast path the logits/softmax/output all stay bf16 —
+        # the f32 preferred_element_type pin used to silently promote
+        # everything downstream of block 0, making dtype=bf16 a no-op
+        # (bf16 quality is gated by the rank-stability contracts in
+        # tests/test_batch_attr.py).
+        pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
         attn_logits = jnp.einsum(
-            "bhnd,bhmd->bhnm", q, k,
-            preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn_logits, axis=-1)
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=pet) * scale
+        attn = jax.nn.softmax(attn_logits, axis=-1).astype(x.dtype)
         if probe is not None:
             # additive zero probe: grad w.r.t. probe == grad w.r.t. attn map
-            attn = attn + probe
+            attn = attn + probe.astype(x.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=pet).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         out = nn.Dense(self.dim, name="proj")(out)
         tap = {"attn": attn, "attn_logits": attn_logits, "v": v,
