@@ -30,7 +30,10 @@ def kmeans(points, key, n_clusters: int, iters: int = 50):
     centroids = points[idx]
 
     def step(c, _):
-        d = ((points[:, None] - c[None]) ** 2).sum(-1)     # [P, K]
+        # argmin of ||p - c||^2 == argmin of (||c||^2 - 2 p.c): the matmul
+        # form rides the MXU; the broadcast-subtract form materializes a
+        # [P, K, D] intermediate (~7 GB/iter for ViT-B's 9216x1024x196)
+        d = (c * c).sum(-1)[None, :] - 2.0 * (points @ c.T)  # [P, K]
         assign = jnp.argmin(d, axis=1)
         one = jax.nn.one_hot(assign, c.shape[0], dtype=points.dtype)
         counts = one.sum(0)
@@ -62,13 +65,18 @@ def _token_drop_scores(apply_tokens, params, x, indices, chunk, target):
 
 def tis(bundle, x, target=None, n_masks: int = 1024,
         tokens_ratio: float = 0.5, batch_size: int = 64,
-        key=None, normalise: bool = True, centroids=None) -> jnp.ndarray:
+        key=None, normalise: bool = True, centroids=None,
+        dtype=None) -> jnp.ndarray:
     """Returns the [P, P] token saliency map (TIS.__call__).
 
     ``centroids`` ([n_masks, n_tokens]) bypasses the on-device KMeans —
     the shared-centroid oracle pattern (tests/test_reference_parity_tis.py;
     kmeans outputs aren't comparable across libraries, everything after
-    them is)."""
+    them is).
+
+    ``dtype=jnp.bfloat16`` runs the 1024 token-dropped scoring forwards
+    (the dominant cost) in bf16; the tap forward, KMeans, mask build and
+    the weighted sum stay f32."""
     x = jnp.asarray(x)
     if x.ndim == 3:
         x = x[None]
@@ -99,7 +107,12 @@ def tis(bundle, x, target=None, n_masks: int = 1024,
     chunk = batch_size
     while n_masks % chunk:
         chunk -= 1
-    scores = _token_drop_scores(bundle.apply_tokens, bundle.params, x,
+    params, x_s = bundle.params, x
+    if dtype is not None:
+        from .gradient import _cast_params_cached
+        params = _cast_params_cached(bundle, dtype)
+        x_s = x.astype(dtype)
+    scores = _token_drop_scores(bundle.apply_tokens, params, x_s,
                                 top, chunk, target)
 
     raw = jnp.einsum("m,mt->t", scores, masks)
