@@ -169,6 +169,15 @@ def bench_resnet(extras):
                                         np.asarray(targets[:4]), keys[:4])
     gb(0)
     row("resnet50_guided_ig50_batch4_attr_per_sec", _host_rate(gb, 3) * 4)
+    if budget_ok("gig_batch16"):
+        i16 = np.concatenate([imgs[:8], imgs[:8]])
+        t16 = np.concatenate([np.asarray(targets[:8])] * 2)
+        k16 = np.concatenate([keys[:8], keys[:8]])
+        g16 = lambda i: BT.batch_attribution("cnn", "gig", bundle,
+                                             i16, i16, t16, k16)
+        g16(0)
+        row("resnet50_guided_ig50_batch16_attr_per_sec",
+            _host_rate(g16, 2) * 16)
 
     if not budget_ok("agi_and_rest"):
         return rate
@@ -290,6 +299,14 @@ def bench_vit(extras):
                                dtype=jnp.bfloat16)
         v16(0)
         row("vit_b16_vit_cx_bf16_attr_per_sec", _host_rate(v16, 3))
+    if budget_ok("vit_cx_batch"):
+        from xai_tpu.methods.vit_cx import vit_cx_batch
+        vb = lambda i: vit_cx_batch(bundle, imgs[:4],
+                                    key=jax.random.PRNGKey(i),
+                                    dtype=jnp.bfloat16)
+        vb(0)
+        row("vit_b16_vit_cx_batch4_bf16_attr_per_sec",
+            _host_rate(vb, 3) * 4)
 
     if not budget_ok("tis"):
         return
@@ -298,6 +315,11 @@ def bench_vit(extras):
                        key=jax.random.PRNGKey(i))
     s1(0).block_until_ready()
     row("vit_b16_tis_attr_per_sec", _blocked(s1, 3))
+    if budget_ok("tis_bf16"):
+        s16 = lambda i: tis(bundle, imgs[i % 4], i % 1000,
+                            key=jax.random.PRNGKey(i), dtype=jnp.bfloat16)
+        s16(0).block_until_ready()
+        row("vit_b16_tis_bf16_attr_per_sec", _blocked(s16, 3))
 
     if not budget_ok("budget"):
         return

@@ -56,66 +56,132 @@ def _segment_saliency(sal2d: np.ndarray, segments: np.ndarray,
     return sums / np.maximum(cnts, 1)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 7, 8))
+def _greedy_scan_device(apply_fn, params, start, finish, seg_map, order,
+                        k_sched, subsearch: int, maximize: bool,
+                        chosen0, target, cutoff, norm_lo, norm_hi):
+    """The WHOLE greedy search as one on-device `lax.scan` — the host
+    version pays a ~30 ms tunnel round-trip per round (argmax download),
+    which dominated MDA end-to-end (~40 blocking reads per image).
+
+    Per round r (k = k_sched[r]): take the first k not-yet-chosen segments
+    in `order`, score each candidate insertion with ONE batched forward,
+    pick argmax (maximize) / argmin, apply it to the running image; the
+    cutoff check sets a done-flag that freezes later rounds.  Returns
+    (picked [R], responses [R], trig [R], final image); picked = −1 for
+    frozen/empty rounds."""
+    n = order.shape[0]
+    S = subsearch
+    seg3 = seg_map[..., None]
+
+    def live_round(chosen, cur, done, k_r):
+        # first-k-unchosen-in-order -> fixed S candidate slots
+        m = jnp.logical_not(chosen[order])            # [n] selectable?
+        rank = jnp.cumsum(m.astype(jnp.int32))
+        write = m & (rank <= jnp.minimum(k_r, S))
+        slots = jnp.where(write, rank - 1, S)
+        cands = jnp.full((S,), -1, jnp.int32).at[slots].set(
+            jnp.where(write, order, -1), mode="drop")
+
+        imgs = jnp.where(seg3[None] == cands[:, None, None, None],
+                         finish[None], cur[None])
+        probs = jax.nn.softmax(
+            apply_fn(params, imgs).astype(jnp.float32), axis=-1)[:, target]
+        valid = cands >= 0
+        masked = jnp.where(valid, probs,
+                           -jnp.inf if maximize else jnp.inf)
+        idx = jnp.argmax(masked) if maximize else jnp.argmin(masked)
+        seg_id = cands[idx]
+        resp = probs[idx]
+        applied = jnp.logical_not(done) & valid.any() & (k_r > 0)
+
+        chosen = chosen | (applied &
+                           (jnp.arange(n, dtype=jnp.int32) == seg_id))
+        cur = jnp.where(applied & (seg3 == seg_id), finish, cur)
+        trig = applied & (cutoff < 1.0) & \
+            ((resp - norm_lo) / jnp.abs(norm_hi - norm_lo) >= cutoff)
+        out = (jnp.where(applied, seg_id, -1).astype(jnp.float32),
+               jnp.where(applied, resp, jnp.nan),
+               trig.astype(jnp.float32))
+        return (chosen, cur, done | trig), out
+
+    def frozen_round(chosen, cur, done, k_r):
+        return (chosen, cur, done), (jnp.float32(-1.0), jnp.float32(jnp.nan),
+                                     jnp.float32(0.0))
+
+    def round_body(carry, k_r):
+        chosen, cur, done = carry
+        # k_sched is zero-padded to a fixed length so the compile is shared
+        # across images; cond skips the batched forward on padded/finished
+        # rounds (a real branch under scan, not a select)
+        return jax.lax.cond(jnp.logical_not(done) & (k_r > 0),
+                            live_round, frozen_round,
+                            chosen, cur, done, k_r)
+
+    (chosen, cur, _), (picked, resps, trig) = jax.lax.scan(
+        round_body, (chosen0, start, jnp.bool_(False)), k_sched)
+    return jnp.stack([picked, resps, trig], axis=-1), cur
+
+
 def _greedy_search(bundle, start, finish, seg_map, segment_order, n_steps,
                    target, direction, skip=None, n_searches=None,
                    cutoff=None, norm_pair=None):
     """Shared greedy loop: at each step, score the first `subsearch` not-yet-
     chosen segments in `segment_order`, pick argmax (ins) / argmin (del of
-    the insertion response), apply it to start.  Returns (chosen, responses,
-    start) — mirrors the reference's subsearch structure exactly, including
-    the shrinking tail window."""
+    the insertion response), apply it to start.  Mirrors the reference's
+    subsearch structure exactly, including the shrinking tail window.
+    Control flow semantics are defined here; the heavy lifting (every
+    round's scoring + pick + cutoff) runs as one `_greedy_scan_device`
+    dispatch with a single packed [R, 3] download."""
     n_searches = n_searches or n_steps
-    chosen = list(skip) if skip else []
-    chosen_set = set(chosen)
-    picked = []
-    responses = []
     subsearch = min(int(n_steps ** 0.5) * 2, 28)
-    seg_dev = jnp.asarray(seg_map)
+    seg_dev = jnp.asarray(seg_map, jnp.int32)
     start = jnp.asarray(start)
     finish = jnp.asarray(finish)
-
-    def available(k):
-        out = []
-        for s in segment_order:
-            if s not in chosen_set:
-                out.append(s)
-                if len(out) == k:
-                    break
-        return out
 
     main_rounds = n_searches - subsearch - (len(skip) if skip else 0)
     tail = subsearch
     if skip and len(skip) > n_searches - subsearch:
         tail = n_searches - len(skip)
     total_rounds = max(main_rounds, 0) + tail
-
+    if total_rounds <= 0:
+        return [], [], start, False
+    # zero-pad the schedule to the fixed length n_searches: the scan length
+    # must not depend on len(skip), or every distinct insertion-pick count
+    # would recompile the whole search (~30 s each on the tunnel); padded
+    # rounds are skipped by the cond inside the scan.
+    k_sched = np.zeros(max(n_searches, total_rounds), np.int32)
     for r in range(total_rounds):
-        k = subsearch if r < max(main_rounds, 0) else \
+        k_sched[r] = subsearch if r < max(main_rounds, 0) else \
             tail - (r - max(main_rounds, 0))
-        if k <= 0:
-            break
-        cands = available(k)
-        if not cands:
-            break
-        pad = subsearch - len(cands)
-        cand_arr = jnp.asarray(cands + [-1] * pad, dtype=jnp.int32)
-        scores = np.asarray(_score_candidates(
-            bundle.apply, bundle.params, start, finish, seg_dev, cand_arr,
-            target))[:len(cands)]
-        idx = int(np.argmax(scores)) if direction == "max" else \
-            int(np.argmin(scores))
-        seg_id = cands[idx]
-        resp = float(scores[idx])
-        picked.append(seg_id)
-        responses.append(resp)
-        chosen_set.add(seg_id)
-        start = jnp.where((seg_dev == seg_id)[..., None], finish, start)
+    k_sched = np.maximum(k_sched, 0)
+    # the host loop `break`s at the first k <= 0; the scan freezes instead —
+    # equivalent because the tail schedule is monotonically decreasing
+    chosen0 = np.zeros(n_steps, bool)
+    if skip:
+        chosen0[list(skip)] = True
+    if cutoff is not None and norm_pair is not None and cutoff != 1:
+        orig, base = norm_pair
+        cut_args = (float(cutoff), float(base), float(orig))
+    else:
+        cut_args = (1.0, 0.0, 1.0)      # cutoff >= 1 never triggers
 
-        if cutoff is not None and norm_pair is not None:
-            orig, base = norm_pair
-            if cutoff != 1 and (resp - base) / abs(orig - base) >= cutoff:
-                responses[-1] = cutoff
-                return picked, responses, start, True
+    packed, start = _greedy_scan_device(
+        bundle.apply, bundle.params, start, finish, seg_dev,
+        jnp.asarray(segment_order, jnp.int32), jnp.asarray(k_sched),
+        subsearch, direction == "max", jnp.asarray(chosen0), target,
+        *cut_args)
+    packed = np.asarray(packed)         # ONE blocking download [R, 3]
+
+    picked, responses = [], []
+    for seg_f, resp, trig in packed:
+        if seg_f < 0:
+            continue
+        picked.append(int(seg_f))
+        responses.append(float(resp))
+        if trig:
+            responses[-1] = float(cutoff)
+            return picked, responses, start, True
     return picked, responses, start, False
 
 
@@ -193,15 +259,25 @@ def find_deletion_patches(bundle, x, segments, prior_segmented,
         skip=beginning_order, n_searches=n_searches)
 
     # apply the seeded tail (best insertion segments, reversed) recording
-    # responses (:496-511)
+    # responses (:496-511) — the reveals are cumulative, so all T states
+    # are built and scored in ONE batched forward instead of T blocking
+    # per-segment probes
     tail = list(reversed(beginning_order))
     seg_dev = jnp.asarray(segments)
-    cur = start_after
-    tail_responses = []
-    for s in tail:
-        cur = jnp.where((seg_dev == s)[..., None], x, cur)
-        tail_responses.append(
-            float(_probs1(bundle, cur, target)))
+    if tail:
+        T = len(tail)
+        # bucket the batch length so distinct tail lengths share compiles
+        # (-1 padding repeats the final state; extra rows are discarded)
+        Tp = ((T + 27) // 28) * 28
+        tail_ids = jnp.asarray(tail + [-1] * (Tp - T), jnp.int32)
+        eq = seg_dev[None] == tail_ids[:, None, None]          # [Tp, H, W]
+        cum = jnp.cumsum(eq.astype(jnp.int32), axis=0) > 0
+        imgs = jnp.where(cum[..., None], x[None], start_after[None])
+        tail_responses = [
+            float(v) for v in
+            np.asarray(bundle.probs_fn(bundle.params, imgs)[:, target])[:T]]
+    else:
+        tail_responses = []
 
     worst_segments = picked + tail
     worst_mr = responses + tail_responses
