@@ -156,6 +156,11 @@ def bench_resnet(extras):
                                   steps=50)
     sg1(0).block_until_ready()
     row("resnet50_sg25x50_attr_per_sec", _blocked(sg1, 3))
+    if budget_ok("sg_bf16"):
+        sg16 = lambda i: G.smooth_grad(bundle, imgs[i % 8], i % 1000, key,
+                                       "IG", steps=50, dtype=jnp.bfloat16)
+        sg16(0).block_until_ready()
+        row("resnet50_sg25x50_bf16_attr_per_sec", _blocked(sg16, 3))
 
     if not budget_ok("gig_and_rest"):
         return rate

@@ -456,3 +456,25 @@ def test_vit_cx_cluster_matches_sklearn():
             metric="precomputed", linkage="complete").fit(dist).labels_
         got = _cluster_host(tri, D, thr)
         np.testing.assert_array_equal(got, want)
+
+
+def test_vit_cx_registry_batch_matches_sequential(vit_setup):
+    """The production --image_batch wiring: batch_attribution('vit',
+    'VIT_CX') with per-image keys == the sequential registry entry
+    (3 * |vit_cx|) bit-for-bit up to float tolerance (same noise draws,
+    shared Kp bucket on the tiny model)."""
+    from xai_tpu.methods.vit_cx import vit_cx
+
+    b, _, _, _ = vit_setup
+    rs = np.random.RandomState(11)
+    xs = rs.randn(3, 32, 32, 3).astype(np.float32)
+    targets = np.array([2, 7, 11])
+    keys = np.stack([np.asarray(jax.random.fold_in(jax.random.PRNGKey(3),
+                                                   i)) for i in range(3)])
+    got = BT.batch_attribution("vit", "VIT_CX", b, xs, xs, targets, keys,
+                               img_hw=32)
+    assert got.shape == (3, 32, 32)
+    for i in range(3):
+        want = 3.0 * np.abs(vit_cx(b, xs[i], int(targets[i]),
+                                   key=jnp.asarray(keys[i], jnp.uint32)))
+        np.testing.assert_allclose(got[i], want, atol=5e-5, rtol=1e-4)

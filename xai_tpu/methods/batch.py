@@ -491,7 +491,8 @@ BATCH_NAMES = {
     "cnn": ("ig", "lig", "idg", "idgi", "sg", "agi", "grad", "inp_x_grad",
             "gbp", "gc", "ggc", "gs", "fa", "occ", "shap", "gig", "lime"),
     "vit": ("attn", "grad", "cam_attn", "n_rollout", "rollout", "t_attn",
-            "attn_ig", "attn_attr", "bi_attn", "InFlow", "t_attr"),
+            "attn_ig", "attn_attr", "bi_attn", "InFlow", "t_attr",
+            "VIT_CX"),
     "clip": tuple(CLIP_EXTRA_KIND),
 }
 
@@ -547,6 +548,14 @@ def batch_attribution(family, name, bundle, xs, trans_imgs, targets, keys,
             # (the driver's abs-sum over the 3 identical channels)
             return 3.0 * lime_batch(bundle, np.asarray(trans_imgs), keys,
                                     dtype=dtype)
+
+    if family == "vit" and name == "VIT_CX":
+        from .vit_cx import vit_cx_batch
+        # registry parity: 3 * |map| (driver abs-sums the 3-channel
+        # broadcast); per-image keys reproduce the sequential noise draws
+        return 3.0 * np.abs(vit_cx_batch(
+            bundle, xs, np.asarray(targets, np.int32), keys=keys,
+            dtype=dtype))
 
     make_adapter = _ADAPTERS.get(family)
     if make_adapter is None:

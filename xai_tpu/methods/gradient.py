@@ -153,9 +153,11 @@ def ig(bundle, x, target, steps: int = 50, alpha_star: float = 1.0,
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 6))
 def _ig_jit(apply_fn, params, x, baseline, steps, target, chunk):
+    # f32 alphas, images cast to the sweep dtype — the f32 broadcast used
+    # to silently promote the bf16 fwd+VJP back to f32
     alphas = jnp.linspace(0.0, 1.0, steps).reshape(steps, 1, 1, 1)
     diff = x - baseline
-    images = baseline[None] + alphas * diff[None]
+    images = (baseline[None] + alphas * diff[None]).astype(x.dtype)
     grads, logits = _grads_and_logits(apply_fn, params, images, target, chunk)
     return grads, logits, diff
 
@@ -312,7 +314,7 @@ def idg(bundle, x, target, steps: int = 50, baseline=0.0,
 def _idgi_jit(apply_fn, params, x, baseline, steps, target, chunk):
     alphas = jnp.linspace(0.0, 1.0, steps).reshape(steps, 1, 1, 1)
     diff = x - baseline
-    images = baseline[None] + alphas * diff[None]
+    images = (baseline[None] + alphas * diff[None]).astype(x.dtype)
     grads, logits = _grads_and_logits(apply_fn, params, images, target, chunk)
     d = logits[1:] - logits[:-1]                     # [steps-1]
     g2 = grads[:-1] ** 2                             # [steps-1, H, W, C]
@@ -404,11 +406,14 @@ def _sg_sweep_jit(apply_fn, params, x, noises, baseline, steps, samples,
                   chunk, target, alpha_star):
     # target is TRACED (it varies per image; a static target would recompile
     # the whole samples*steps sweep for every class)
+    # interpolate in f32 but hand the model images in the sweep dtype: the
+    # f32 alpha broadcast silently promoted the whole fwd+VJP back to f32,
+    # turning dtype=bf16 into a no-op
     alphas = jnp.linspace(0.0, 1.0, steps).reshape(1, steps, 1, 1, 1)
     xi = x[None] + noises                               # [S, H, W, C]
     diff = xi - baseline[None]
     images = (baseline[None, None] + alphas * diff[:, None]).reshape(
-        (samples * steps,) + x.shape)
+        (samples * steps,) + x.shape).astype(x.dtype)
     grads, logits = _grads_and_logits(apply_fn, params, images, target,
                                       chunk)
     # Riemann mean + x-product in f32 regardless of the sweep dtype

@@ -278,15 +278,22 @@ def _cluster_and_score_batch_jit(apply_fn, chunk, Kp, params, xb, masks,
 
 
 def vit_cx_batch(bundle, xs, targets=None, distance_threshold: float = 0.1,
-                 gpu_batch: int = 64, key=None, dtype=None) -> np.ndarray:
+                 gpu_batch: int = 64, key=None, keys=None,
+                 dtype=None) -> np.ndarray:
     """Cross-image batched ViT-CX -> [B, H, W] normalized maps.
 
-    Same math as ``vit_cx`` per image (clustering still sklearn on host,
-    fed by one batched triangle download); the two jits and the two
-    transfers are amortized over the batch, which is what the tunnel
-    latency (~30 ms per blocking read) punishes hardest.  Cluster counts
-    vary per image — all images pad to one shared Kp bucket so stage B is
-    a single vmapped dispatch."""
+    Same math as ``vit_cx`` per image (clustering still host, fed by one
+    batched triangle download); the two jits and the two transfers are
+    amortized over the batch, which is what the tunnel latency (~30 ms per
+    blocking read) punishes hardest.  Cluster counts vary per image — all
+    images pad to one shared Kp bucket so stage B is a single vmapped
+    dispatch.
+
+    ``keys``: optional per-image PRNG key data [B, 2] — each image's noise
+    is drawn exactly as the single-image path draws it (same key, same
+    bucket), so batched == sequential bit-for-bit whenever the images
+    share the Kp bucket (ViT-B: K <= 64 in practice).  ``key`` draws one
+    batch-wide stream instead."""
     xs = jnp.asarray(xs)
     B, H = xs.shape[0], xs.shape[1]
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -312,7 +319,11 @@ def vit_cx_batch(bundle, xs, targets=None, distance_threshold: float = 0.1,
         probs = jax.nn.softmax(logits, axis=-1)
         class_p = jnp.take_along_axis(probs, targets_a[:, None], 1)[:, 0]
 
-    noise = jax.random.normal(key, (B, Kp, H, H, 3)) * 0.1
+    if keys is not None:
+        noise = jax.vmap(lambda k: jax.random.normal(
+            k, (Kp, H, H, 3)))(jnp.asarray(keys, jnp.uint32)) * 0.1
+    else:
+        noise = jax.random.normal(key, (B, Kp, H, H, 3)) * 0.1
     params = bundle.params
     if dtype is not None:
         from .gradient import _cast_params_cached
