@@ -125,7 +125,7 @@ def _greedy_scan_device(apply_fn, params, start, finish, seg_map, order,
 
 def _greedy_search(bundle, start, finish, seg_map, segment_order, n_steps,
                    target, direction, skip=None, n_searches=None,
-                   cutoff=None, norm_pair=None):
+                   cutoff=None, norm_pair=None, dtype=None):
     """Shared greedy loop: at each step, score the first `subsearch` not-yet-
     chosen segments in `segment_order`, pick argmax (ins) / argmin (del of
     the insertion response), apply it to start.  Mirrors the reference's
@@ -166,8 +166,16 @@ def _greedy_search(bundle, start, finish, seg_map, segment_order, n_steps,
     else:
         cut_args = (1.0, 0.0, 1.0)      # cutoff >= 1 never triggers
 
+    params = bundle.params
+    if dtype is not None:
+        # opt-in bf16 candidate-scoring forwards; softmax/argmax/cutoff
+        # math inside the scan stays f32 (probs are cast on exit)
+        from .gradient import _cast_params_cached
+        params = _cast_params_cached(bundle, dtype)
+        start = start.astype(dtype)
+        finish = finish.astype(dtype)
     packed, start = _greedy_scan_device(
-        bundle.apply, bundle.params, start, finish, seg_dev,
+        bundle.apply, params, start, finish, seg_dev,
         jnp.asarray(segment_order, jnp.int32), jnp.asarray(k_sched),
         subsearch, direction == "max", jnp.asarray(chosen0), target,
         *cut_args)
@@ -186,7 +194,8 @@ def _greedy_search(bundle, start, finish, seg_map, segment_order, n_steps,
 
 
 def find_insertion_patches(bundle, x, prior_segmented, segments, blur_fn,
-                           n_searches, target=None, cutoff: float = 0.9):
+                           n_searches, target=None, cutoff: float = 0.9,
+                           dtype=None):
     """Insertion search (type=1): start=blur, insert the segment maximizing
     the softmax response (MDAFunctions.py:39-192)."""
     x = jnp.asarray(x)
@@ -205,7 +214,7 @@ def find_insertion_patches(bundle, x, prior_segmented, segments, blur_fn,
     picked, responses, _, early = _greedy_search(
         bundle, start, x, segments, order, n_steps, target, "max",
         n_searches=n_searches, cutoff=cutoff,
-        norm_pair=(original_pred, blur_pred))
+        norm_pair=(original_pred, blur_pred), dtype=dtype)
     if early:
         # early-exit return: the raw response list with the final entry set
         # to the cutoff value (MDAFunctions.py:190-192)
@@ -233,7 +242,7 @@ _LAST_DEBUG: dict = {}
 def find_deletion_patches(bundle, x, segments, prior_segmented,
                           beginning_order, blur_fn, n_searches,
                           target=None, kappa: float = 0.005,
-                          mas_chunk: int = 25):
+                          mas_chunk: int = 25, dtype=None):
     """Deletion search seeded by the insertion order
     (MDAFunctions.py:313-597).  Returns (map_0, map_5, map_10): the
     kappa = 0 / 0.5 / 1.0 sparse/dense blends as [H, W] 2-D maps (already
@@ -256,7 +265,7 @@ def find_deletion_patches(bundle, x, segments, prior_segmented,
     beginning_order = [int(v) for v in beginning_order]
     picked, responses, start_after, _ = _greedy_search(
         bundle, start, x, segments, order, n_steps, target, "min",
-        skip=beginning_order, n_searches=n_searches)
+        skip=beginning_order, n_searches=n_searches, dtype=dtype)
 
     # apply the seeded tail (best insertion segments, reversed) recording
     # responses (:496-511) — the reveals are cumulative, so all T states
@@ -359,7 +368,7 @@ def find_deletion_patches(bundle, x, segments, prior_segmented,
 
 
 def mda(bundle, trans_img, x, prior_saliency, patch_count, blur_fn,
-        target=None, ordered: bool = False):
+        target=None, ordered: bool = False, dtype=None):
     """The MDA driver (MDAFunctions.py:600-625).
 
     trans_img: [H, W, 3] in [0,1] (for SLIC); x: normalized input [H, W, C];
@@ -379,18 +388,18 @@ def mda(bundle, trans_img, x, prior_saliency, patch_count, blur_fn,
 
     order, mr_ins = find_insertion_patches(bundle, x, seg_prior, segments,
                                            blur_fn, patch_count,
-                                           target=target)
+                                           target=target, dtype=dtype)
     hits = np.where(mr_ins >= 0.9)[0]
     end_index = hits[0] if len(hits) else len(mr_ins)
     kappa = -1.0 if ordered else 0.005
     map_0, map_5, map_10 = find_deletion_patches(
         bundle, x, segments, seg_prior, order[:end_index + 1], blur_fn,
-        patch_count, target=target, kappa=kappa)
+        patch_count, target=target, kappa=kappa, dtype=dtype)
     return map_0
 
 
 def mda_dense(bundle, trans_img, x, prior_saliency, patch_count, blur_fn,
-              target=None):
+              target=None, dtype=None):
     """The seg driver's MDA_dense (evaluateImageNetSeg.py:291-326): same
     insertion search, but the deletion pass runs with kappa = -1 so the dense
     map is the pure insertion-rank map, then bilinear downsize to
@@ -408,12 +417,12 @@ def mda_dense(bundle, trans_img, x, prior_saliency, patch_count, blur_fn,
 
     order, mr_ins = find_insertion_patches(bundle, x, seg_prior, segments,
                                            blur_fn, patch_count,
-                                           target=target)
+                                           target=target, dtype=dtype)
     hits = np.where(mr_ins >= 0.9)[0]
     end_index = hits[0] if len(hits) else len(mr_ins)
     _, _, dense = find_deletion_patches(
         bundle, x, segments, seg_prior, order[:end_index + 1], blur_fn,
-        patch_count, target=target, kappa=-1.0)
+        patch_count, target=target, kappa=-1.0, dtype=dtype)
 
     small_side = int(np.ceil(np.sqrt(patch_count)))
     d = resize_bilinear(jnp.asarray(dense, jnp.float32),

@@ -35,6 +35,9 @@ class AttrContext:
     img_hw: int = 224
     steps: int = 50
     extras: Optional[dict] = None
+    # opt-in low-precision sweep dtype (driver --attr_dtype); consumed by
+    # the entries whose methods take dtype=, ignored by the rest
+    dtype: Any = None
 
 
 def _abs_sum(fn):
@@ -57,9 +60,10 @@ def _down_up(attr_hwc, img_hw: int, num_patches: int = 14):
 CNN_METHODS: Dict[str, Callable] = {
     "grad": _abs_sum(lambda c: G.grad(c.bundle, c.x, c.target)),
     "inp_x_grad": _abs_sum(lambda c: G.inp_x_grad(c.bundle, c.x, c.target)),
-    "ig": _abs_sum(lambda c: G.ig(c.bundle, c.x, c.target, c.steps, 1.0, 0.0)),
+    "ig": _abs_sum(lambda c: G.ig(c.bundle, c.x, c.target, c.steps, 1.0, 0.0,
+                                  dtype=c.dtype)),
     "lig": _abs_sum(lambda c: G.ig(c.bundle, c.x, c.target, c.steps, 0.9,
-                                   0.0)),
+                                   0.0, dtype=c.dtype)),
     "idg": _abs_sum(lambda c: G.idg(c.bundle, c.x, c.target, c.steps, 0.0)),
     "idgi": _abs_sum(lambda c: G.idgi(c.bundle, c.x, c.target, c.steps, 0.0)),
     "gig": _abs_sum(lambda c: guided_ig(c.bundle, c.x, c.target,
@@ -67,7 +71,8 @@ CNN_METHODS: Dict[str, Callable] = {
                                         max_dist=1.0)),
     "agi": lambda c: np.abs(agi_fn(c.bundle, c.trans_img)),
     "sg": _abs_sum(lambda c: G.smooth_grad(c.bundle, c.x, c.target, c.key,
-                                           "IG", c.steps, 0.0)),
+                                           "IG", c.steps, 0.0,
+                                           dtype=c.dtype)),
     "gc": _abs_sum(lambda c: GD.grad_cam(c.bundle, c.x, c.target,
                                          img_hw=c.img_hw)),
     "gbp": _abs_sum(lambda c: GD.guided_backprop(c.bundle, c.x, c.target)),
@@ -104,7 +109,7 @@ def _xrai_entry(ctx):
 
 def _lime_entry(ctx):
     from .methods.lime import lime
-    return lime(ctx.bundle, ctx.trans_img, ctx.key)
+    return lime(ctx.bundle, ctx.trans_img, ctx.key, dtype=ctx.dtype)
 
 
 def get_attribution(family: str, name: str, ctx: AttrContext) -> np.ndarray:

@@ -69,20 +69,21 @@ def _mda_entry(ctx, dense: bool = False):
         # seg-driver variant (evaluateImageNetSeg.py:291-326): dense rank
         # map, no 3x abs-sum (it is consumed minmax-normalized)
         return mda_dense(ctx.bundle, ctx.trans_img, x, prior3, patch_count,
-                         blur_fn, target=ctx.target)
+                         blur_fn, target=ctx.target, dtype=ctx.dtype)
     m = mda(ctx.bundle, ctx.trans_img, x, prior3, patch_count, blur_fn,
-            target=ctx.target)
+            target=ctx.target, dtype=ctx.dtype)
     return 3.0 * np.abs(m)
 
 
 def _tis_entry(ctx):
     from .methods.tis import tis
-    sal = tis(ctx.bundle, ctx.x, ctx.target, key=ctx.key)
+    sal = tis(ctx.bundle, ctx.x, ctx.target, key=ctx.key, dtype=ctx.dtype)
     return _upsample_abs(sal, ctx.img_hw)
 
 
 def _vit_cx_entry(ctx):
     from .methods.vit_cx import vit_cx
     # driver broadcasts over 3 channels then abs-sums -> 3 * map
-    sal = vit_cx(ctx.bundle, ctx.x, ctx.target, key=ctx.key)
+    sal = vit_cx(ctx.bundle, ctx.x, ctx.target, key=ctx.key,
+                 dtype=ctx.dtype)
     return 3.0 * np.abs(sal)

@@ -59,7 +59,8 @@ def _batch_attribute(bundle, family, pend, args, maps_writer=None):
             get_attribution(family, args.attr_func, AttrContext(
                 bundle=bundle, x=jnp.asarray(p["x"]),
                 trans_img=p["trans_img"], target=p["target"], key=p["key"],
-                img_hw=bundle.meta.img_hw, extras=p["extras"]))
+                img_hw=bundle.meta.img_hw, extras=p["extras"],
+                dtype=dtype))
             for p in pend])
     dt = time.time() - t
     if maps_writer is not None:
@@ -165,7 +166,9 @@ def evaluate_perturbation(args) -> dict:
 
         ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
                           target=target, key=key, img_hw=bundle.meta.img_hw,
-                          extras=extras)
+                          extras=extras,
+                          dtype={"bf16": jnp_bf16,
+                                 "f32": None}[args.attr_dtype])
         t = time.time()
         saliency = get_attribution(family, args.attr_func, ctx)
         attr_time += time.time() - t
@@ -188,7 +191,9 @@ def evaluate_perturbation(args) -> dict:
             ctx = AttrContext(bundle=bundle, x=jnp.asarray(p["x"]),
                               trans_img=p["trans_img"], target=p["target"],
                               key=p["key"], img_hw=bundle.meta.img_hw,
-                              extras=p["extras"])
+                              extras=p["extras"],
+                              dtype={"bf16": jnp_bf16,
+                                     "f32": None}[args.attr_dtype])
             t = time.time()
             bsal = get_attribution(family, args.attr_func, ctx)
             attr_time += time.time() - t
