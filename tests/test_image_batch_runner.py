@@ -50,3 +50,20 @@ def test_image_batch_bf16_close(tmp_path):
                 "--attr_dtype", "bf16"]))
     for k in f32:
         assert abs(f32[k] - b16[k]) < 0.05, (k, f32[k], b16[k])
+
+
+def test_sanity_image_batch_matches_sequential(tmp_path):
+    """evaluate_sanity --image_batch (batched attribution on BOTH weight
+    sets + tail flush) == the sequential loop."""
+    from xai_tpu.runners.evaluate_sanity import build_parser, evaluate_sanity
+
+    base = ["--model", "TINY_CNN", "--attr_func", "ig", "--image_count",
+            "3", "--synthetic", "3"]
+    seq = evaluate_sanity(build_parser().parse_args(
+        base + ["--output_dir", str(tmp_path / "seq")]))
+    bat = evaluate_sanity(build_parser().parse_args(
+        base + ["--output_dir", str(tmp_path / "bat"),
+                "--image_batch", "2"]))
+    assert set(seq) == set(bat) == {"SSIM", "SPR", "HOG"}
+    for k in seq:
+        assert abs(seq[k] - bat[k]) < 5e-4, (k, seq[k], bat[k])

@@ -64,15 +64,17 @@ def evaluate_imagenet_seg(args) -> dict:
             if "text_tokens" in buf[0]["extras"]:
                 extras["text_tokens"] = np.stack(
                     [b["extras"]["text_tokens"][0] for b in buf])
+        adt = {"bf16": jnp.bfloat16, "f32": None}[
+            getattr(args, "attr_dtype", "f32")]
         sals = batch_attribution(family, args.attr_func, bundle, xs,
                                  np.stack([b["trans_img"] for b in buf]),
                                  targets, keys, extras=extras,
-                                 img_hw=bundle.meta.img_hw)
+                                 img_hw=bundle.meta.img_hw, dtype=adt)
         if sals is None:
             sals = [get_attribution(family, args.attr_func, AttrContext(
                 bundle=bundle, x=jnp.asarray(b["x"]),
                 trans_img=b["trans_img"], target=b["target"], key=b["key"],
-                img_hw=bundle.meta.img_hw, extras=b["extras"]))
+                img_hw=bundle.meta.img_hw, extras=b["extras"], dtype=adt))
                 for b in buf]
         for b, sal in zip(buf, sals):
             score_one(np.asarray(sal), b["gt_mask"])
@@ -137,6 +139,9 @@ def build_parser():
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--attr_dtype", type=str, default="f32",
+                   choices=("f32", "bf16"),
+                   help="attribution sweep dtype (bf16 = opt-in fast path)")
     p.add_argument("--image_batch", type=int, default=1,
                    help="fused multi-image attribution batch size "
                         "(methods with a batched implementation)")

@@ -65,6 +65,39 @@ def randomize_family(params, family: str, key):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def _flush_sanity(bundle, rand_bundle, family, buf, args, totals):
+    """Batched sanity flush: targets from 2 stacked forwards, attributions
+    from (at most) 2 fused batched dispatches — one per weight set — then
+    the host SSIM/Spearman/HOG pairs (evaluateSanity.py:460-501 order)."""
+    import numpy as np
+
+    from .evaluate_perturbation import _batch_attribute
+
+    xs = jnp.asarray(np.stack([p["x"] for p in buf]))
+    tgt = np.asarray(jnp.argmax(bundle.logits_fn(bundle.params, xs), -1))
+    tgt_r = np.asarray(jnp.argmax(
+        rand_bundle.logits_fn(rand_bundle.params, xs), -1))
+    pend = [dict(p, target=int(t),
+                 extras=(clip_extras(bundle, int(t))
+                         if family == "clip" else None))
+            for p, t in zip(buf, tgt)]
+    pend_r = [dict(p, target=int(t),
+                   extras=(clip_extras(rand_bundle, int(t))
+                           if family == "clip" else None))
+              for p, t in zip(buf, tgt_r)]
+    sals, _ = _batch_attribute(bundle, family, pend, args)
+    sals_r, _ = _batch_attribute(rand_bundle, family, pend_r, args)
+    out = []
+    for a, ar in zip(sals, sals_r):
+        ssim_v, spr_v, hog_v = sanity_evaluate(a, ar)
+        totals["SSIM"] += ssim_v
+        totals["SPR"] += spr_v
+        totals["HOG"] += hog_v
+        out.append((ssim_v, spr_v, hog_v))
+    buf.clear()
+    return out
+
+
 def evaluate_sanity(args) -> dict:
     import dataclasses
     family, batch = MODEL_TABLE[args.model]
@@ -76,9 +109,13 @@ def evaluate_sanity(args) -> dict:
     correct = load_correct_mask(args.class_maps_dir, args.model) \
         if args.class_maps_dir else None
     stream = ImageNetValStream(args.dataset_path, synthetic=args.synthetic)
+    attr_dtype = {"bf16": jnp.bfloat16, "f32": None}[
+        getattr(args, "attr_dtype", "f32")]
+    image_batch = getattr(args, "image_batch", 1)
 
     totals = {"SSIM": 0.0, "SPR": 0.0, "HOG": 0.0}
     images_used = 0
+    buf = []
     t0 = time.time()
     for item in stream:
         if images_used == args.image_count:
@@ -86,21 +123,35 @@ def evaluate_sanity(args) -> dict:
         if correct is not None and correct[item.index] == 0:
             continue
         x = normalize_input(item.trans_img, family)
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), item.index)
+
+        if image_batch > 1:
+            import numpy as np
+            buf.append({"x": np.asarray(x),
+                        "trans_img": np.asarray(item.trans_img),
+                        "key": key})
+            images_used += 1
+            if len(buf) == image_batch:
+                _flush_sanity(bundle, rand_bundle, family, buf, args,
+                              totals)
+            continue
+
         target = int(jnp.argmax(bundle.apply(bundle.params, x[None])[0]))
         target_rand = int(jnp.argmax(
             rand_bundle.apply(rand_bundle.params, x[None])[0]))
 
-        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), item.index)
         ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
                           target=target, key=key,
                           img_hw=bundle.meta.img_hw,
                           extras=(clip_extras(bundle, target)
-                                  if family == "clip" else None))
+                                  if family == "clip" else None),
+                          dtype=attr_dtype)
         ctx_r = AttrContext(bundle=rand_bundle, x=x,
                             trans_img=item.trans_img, target=target_rand,
                             key=key, img_hw=bundle.meta.img_hw,
                             extras=(clip_extras(rand_bundle, target_rand)
-                                    if family == "clip" else None))
+                                    if family == "clip" else None),
+                            dtype=attr_dtype)
         attr = get_attribution(family, args.attr_func, ctx)
         attr_r = get_attribution(family, args.attr_func, ctx_r)
         ssim_v, spr_v, hog_v = sanity_evaluate(attr, attr_r)
@@ -111,6 +162,9 @@ def evaluate_sanity(args) -> dict:
         if args.verbose:
             print(f"[{images_used}] SSIM={ssim_v:.4f} SPR={spr_v:.4f} "
                   f"HOG={hog_v:.4f}")
+
+    if buf:
+        _flush_sanity(bundle, rand_bundle, family, buf, args, totals)
 
     total_time = time.time() - t0
     if images_used:
@@ -140,6 +194,12 @@ def build_parser():
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--image_batch", type=int, default=1,
+                   help="fused multi-image attribution batch (both weight "
+                        "sets); 1 = per-image")
+    p.add_argument("--attr_dtype", type=str, default="f32",
+                   choices=("f32", "bf16"),
+                   help="attribution sweep dtype (bf16 = opt-in fast path)")
     return p
 
 

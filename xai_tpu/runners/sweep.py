@@ -120,7 +120,7 @@ def run_sweep(args):
                 "--image_count", str(args.image_count),
                 "--synthetic", str(args.synthetic),
                 "--output_dir", args.output_dir]
-        if driver == "pert" and args.image_batch > 1:
+        if driver in ("pert", "sanity", "seg") and args.image_batch > 1:
             argv += ["--image_batch", str(args.image_batch),
                      "--attr_dtype", args.attr_dtype]
         if driver == "seg":
