@@ -37,20 +37,34 @@ def _normalize_image(im: np.ndarray, value_range=(-1.0, 1.0)) -> np.ndarray:
 
 
 def get_segments(im: np.ndarray, dilation_rad: int = DILATION_RAD) -> list:
-    """Boolean masks from multi-scale Felzenszwalb + dilation."""
+    """Boolean masks from multi-scale Felzenszwalb + dilation.
+
+    The six scales are independent, and both the C++ felzenszwalb (ctypes)
+    and scipy's binary_dilation release the GIL — threading them is the
+    whole method's hot spot (~175 ms of XRAI's ~210 ms/image on one core).
+    Mask order is kept identical to the sequential loop (scale-major,
+    label-ascending), so results are bit-identical."""
+    from concurrent.futures import ThreadPoolExecutor
+
     im = _normalize_image(im)
-    masks = []
     selem = _disk(dilation_rad)
-    for scale in SCALE_VALUES:
-        seg = felzenszwalb(im.astype(np.float32), scale=float(scale),
-                           sigma=SIGMA, min_size=MIN_SEGMENT_SIZE)
+    imf = im.astype(np.float32)
+
+    def one_scale(scale):
+        seg = felzenszwalb(imf, scale=float(scale), sigma=SIGMA,
+                           min_size=MIN_SEGMENT_SIZE)
+        out = []
         for l in range(seg.min(), seg.max() + 1):
             mask = seg == l
             if mask.any():
                 if dilation_rad:
                     mask = binary_dilation(mask, structure=selem)
-                masks.append(mask)
-    return masks
+                out.append(mask)
+        return out
+
+    with ThreadPoolExecutor(min(6, len(SCALE_VALUES))) as ex:
+        per_scale = list(ex.map(one_scale, SCALE_VALUES))
+    return [m for masks in per_scale for m in masks]
 
 
 def _gain_density(mask1, attr, mask2=None):
