@@ -27,20 +27,6 @@ from ..native import project_curve, slic
 from ..ops.resize import resize_bilinear, resize_nearest_exact
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _score_candidates(apply_fn, params, start, finish, seg_map, cand_ids,
-                      target):
-    """softmax[target] after inserting each candidate segment into start.
-    cand_ids: [S] int32 (−1 = padding; scored but ignored by caller)."""
-
-    def one(cid):
-        m = (seg_map == cid)[..., None]
-        img = jnp.where(m, finish, start)
-        return jax.nn.softmax(apply_fn(params, img[None])[0])[target]
-
-    return jax.vmap(one)(cand_ids)
-
-
 def _probs1(bundle, x, target):
     # one jitted dispatch (bundle.probs_fn is cached+jitted); eager softmax
     # chains cost several device round-trips each

@@ -32,8 +32,12 @@ def kmeans(points, key, n_clusters: int, iters: int = 50):
     def step(c, _):
         # argmin of ||p - c||^2 == argmin of (||c||^2 - 2 p.c): the matmul
         # form rides the MXU; the broadcast-subtract form materializes a
-        # [P, K, D] intermediate (~7 GB/iter for ViT-B's 9216x1024x196)
-        d = (c * c).sum(-1)[None, :] - 2.0 * (points @ c.T)  # [P, K]
+        # [P, K, D] intermediate (~7 GB/iter for ViT-B's 9216x1024x196).
+        # HIGHEST precision: ||c||^2 and 2 p.c are both ~||p||^2 while
+        # their difference is tiny, so default-precision (bf16-pass)
+        # matmul error can flip near-tie assignments even in f32 mode.
+        d = (c * c).sum(-1)[None, :] - 2.0 * jnp.matmul(
+            points, c.T, precision=jax.lax.Precision.HIGHEST)   # [P, K]
         assign = jnp.argmin(d, axis=1)
         one = jax.nn.one_hot(assign, c.shape[0], dtype=points.dtype)
         counts = one.sum(0)

@@ -253,17 +253,17 @@ def vit_cx(bundle, x, target=None, distance_threshold: float = 0.1,
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def _masks_and_sim_batch_jit(apply_taps, params, H, xb):
     """Vmapped stage A: xb [B, H, W, 3] -> (masks [B, D, H*H],
-    packed sims [B, D*(D-1)/2], targets [B], class_p [B])."""
+    packed sims [B, D*(D-1)/2], softmax probs [B, n_classes]) — probs stay
+    on device; both the predicted-class and the explicit-targets paths
+    read them without another forward."""
     logits, taps = apply_taps(params, xb)
     probs = jax.nn.softmax(logits, axis=-1)
-    targets = jnp.argmax(probs, axis=-1)
-    class_p = jnp.take_along_axis(probs, targets[:, None], axis=1)[:, 0]
     feats = taps["norm1_out"][-1][:, 1:]            # [B, P*P, D]
     masks, sims = jax.vmap(lambda f: _sim_and_masks(f, H))(feats)
     D = sims.shape[1]
     iu, ju = np.triu_indices(D, k=1)
     tris = sims[:, jnp.asarray(iu), jnp.asarray(ju)]
-    return masks, tris, targets, class_p
+    return masks, tris, probs
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
@@ -291,14 +291,14 @@ def vit_cx_batch(bundle, xs, targets=None, distance_threshold: float = 0.1,
 
     ``keys``: optional per-image PRNG key data [B, 2] — each image's noise
     is drawn exactly as the single-image path draws it (same key, same
-    bucket), so batched == sequential bit-for-bit whenever the images
-    share the Kp bucket (ViT-B: K <= 64 in practice).  ``key`` draws one
-    batch-wide stream instead."""
+    PER-IMAGE bucket, zero-padded to the shared Kp), so batched ==
+    sequential even when cluster counts straddle bucket boundaries.
+    ``key`` draws one batch-wide stream instead."""
     xs = jnp.asarray(xs)
     B, H = xs.shape[0], xs.shape[1]
     key = key if key is not None else jax.random.PRNGKey(0)
 
-    masks, tris, tgt_dev, cp_dev = _masks_and_sim_batch_jit(
+    masks, tris, probs = _masks_and_sim_batch_jit(
         bundle.apply_taps, bundle.params, H, xs)
     tris_h = np.asarray(tris)                       # one blocking download
     D = masks.shape[1]
@@ -308,20 +308,28 @@ def vit_cx_batch(bundle, xs, targets=None, distance_threshold: float = 0.1,
     bucket = 64
     Kp = int(((Ks.max() + bucket - 1) // bucket) * bucket)
 
-    # class_p for explicit targets needs another forward; the common driver
-    # path (predicted class) rides the stage-A outputs and stays on device
+    # both target modes ride the stage-A probs — no extra forward
     if targets is None:
-        targets_a = jnp.asarray(tgt_dev)
-        class_p = cp_dev
+        targets_a = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     else:
         targets_a = jnp.asarray(targets, jnp.int32)
-        logits = bundle.logits_fn(bundle.params, xs)
-        probs = jax.nn.softmax(logits, axis=-1)
-        class_p = jnp.take_along_axis(probs, targets_a[:, None], 1)[:, 0]
+    class_p = jnp.take_along_axis(probs, targets_a[:, None], 1)[:, 0]
 
     if keys is not None:
-        noise = jax.vmap(lambda k: jax.random.normal(
-            k, (Kp, H, H, 3)))(jnp.asarray(keys, jnp.uint32)) * 0.1
+        # draw each image's noise at ITS OWN bucket (what the sequential
+        # path draws), zero-padded to the shared Kp: with one shared-bucket
+        # draw, a single K>64 image would silently change every other
+        # image's noise stream vs the sequential run
+        keys_a = jnp.asarray(keys, jnp.uint32)
+        noise = jnp.zeros((B, Kp, H, H, 3))
+        for kp_i in sorted({int(((k + bucket - 1) // bucket) * bucket)
+                            for k in Ks}):
+            rows = [i for i in range(B)
+                    if int(((Ks[i] + bucket - 1) // bucket) * bucket)
+                    == kp_i]
+            draw = jax.vmap(lambda kk: jax.random.normal(
+                kk, (kp_i, H, H, 3)))(keys_a[jnp.asarray(rows)]) * 0.1
+            noise = noise.at[jnp.asarray(rows), :kp_i].set(draw)
     else:
         noise = jax.random.normal(key, (B, Kp, H, H, 3)) * 0.1
     params = bundle.params

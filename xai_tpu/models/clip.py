@@ -75,9 +75,10 @@ class CLIPAttention(nn.Module):
         qkv = nn.Dense(3 * self.dim, name="in_proj")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        # f32 logits+softmax in f32 mode (reference parity); full-bf16
-        # attention in the opt-in bf16 fast path (see vit.Attention)
-        pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+        # attention accumulates/stores in the compute dtype (see
+        # vit.Attention): exact f32 in f32 mode, bf16 end-to-end in the
+        # opt-in fast path
+        pet = x.dtype
         logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                             preferred_element_type=pet) * hd ** -0.5
         if mask is not None:

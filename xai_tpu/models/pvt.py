@@ -46,7 +46,7 @@ class SRAttention(nn.Module):
         kv = kv.reshape(B, M, 2, self.num_heads, hd)
         k, v = kv[:, :, 0].transpose(0, 2, 1, 3), \
             kv[:, :, 1].transpose(0, 2, 1, 3)
-        pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+        pet = x.dtype     # see vit.Attention: compute-dtype attention
         attn = jax.nn.softmax(
             jnp.einsum("bhnd,bhmd->bhnm", q, k,
                        preferred_element_type=pet) * hd ** -0.5,

@@ -47,7 +47,7 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(nW, N, 3, self.num_heads, hd)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         scale = hd ** -0.5 if self.scale is None else self.scale
-        pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+        pet = x.dtype     # see vit.Attention: compute-dtype attention
         attn = jnp.einsum("whnd,whmd->whnm", q, k,
                           preferred_element_type=pet) * scale
 

@@ -75,15 +75,15 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        # The attention score tensor [B, H, N, N] is the HBM hot spot of the
-        # whole tower (2.4 GB/fwd at batch 128 in f32).  In f32 mode keep
-        # exact f32 logits+softmax (parity with the reference).  In the
-        # opt-in bf16 fast path the logits/softmax/output all stay bf16 —
-        # the f32 preferred_element_type pin used to silently promote
-        # everything downstream of block 0, making dtype=bf16 a no-op
-        # (bf16 quality is gated by the rank-stability contracts in
-        # tests/test_batch_attr.py).
-        pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+        # The attention score tensor [B, H, N, N] is the HBM hot spot of
+        # the whole tower (2.4 GB/fwd at batch 128 in f32).  Accumulate and
+        # store in the COMPUTE dtype: f32 mode keeps exact f32
+        # logits+softmax (reference parity), the opt-in bf16 fast path
+        # stays bf16 end-to-end — the old f32 preferred_element_type pin
+        # silently promoted everything downstream of block 0, making
+        # dtype=bf16 a no-op (bf16 quality is gated by the rank-stability
+        # contracts in tests/test_batch_attr.py).
+        pet = x.dtype
         attn_logits = jnp.einsum(
             "bhnd,bhmd->bhnm", q, k, preferred_element_type=pet) * scale
         attn = jax.nn.softmax(attn_logits, axis=-1).astype(x.dtype)

@@ -120,9 +120,12 @@ def run_sweep(args):
                 "--image_count", str(args.image_count),
                 "--synthetic", str(args.synthetic),
                 "--output_dir", args.output_dir]
-        if driver in ("pert", "sanity", "seg") and args.image_batch > 1:
-            argv += ["--image_batch", str(args.image_batch),
-                     "--attr_dtype", args.attr_dtype]
+        # --attr_dtype is honored by the sequential paths too — forward it
+        # unconditionally (dropping it silently downgraded bf16 sweeps
+        # with the default image_batch=1 to f32)
+        argv += ["--attr_dtype", args.attr_dtype]
+        if args.image_batch > 1:
+            argv += ["--image_batch", str(args.image_batch)]
         if driver == "seg":
             if args.seg_dataset_path:
                 argv += ["--dataset_path", args.seg_dataset_path]
