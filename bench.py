@@ -399,6 +399,18 @@ def bench_clip(extras):
                                       key=jax.random.PRNGKey(i))
     m1(0)
     row("clip_b16_m2ib_attr_per_sec", _host_rate(m1, 3))
+    if budget_ok("m2ib_batch"):
+        from xai_tpu.methods import batch as BT
+        import numpy as _np
+        mk = _np.stack([_np.asarray(jax.random.fold_in(
+            jax.random.PRNGKey(5), i)) for i in range(8)])
+        memb = _np.tile(_np.asarray(txt).reshape(1, -1), (8, 1))
+        mxs = _np.asarray(imgs[_np.arange(8) % 4])
+        mb = lambda i: BT.batch_attribution(
+            "clip", "m2ib", bundle, mxs, mxs, _np.arange(8), mk,
+            extras={"txt_emb": memb})
+        mb(0)
+        row("clip_b16_m2ib_batch8_attr_per_sec", _host_rate(mb, 2) * 8)
 
 
 def write_table(headline_rate):

@@ -478,3 +478,20 @@ def test_vit_cx_registry_batch_matches_sequential(vit_setup):
         want = 3.0 * np.abs(vit_cx(b, xs[i], int(targets[i]),
                                    key=jnp.asarray(keys[i], jnp.uint32)))
         np.testing.assert_allclose(got[i], want, atol=5e-5, rtol=1e-4)
+
+
+def test_clip_m2ib_batch_matches_single(clip_setup):
+    """Batched M2IB (vmapped IBA scan) == sequential vision_heatmap_iba:
+    same noise streams (split(key, steps)), same Adam trajectory."""
+    from xai_tpu.methods.clip_m2ib import vision_heatmap_iba
+
+    b, xs, targets, keys, extras = clip_setup
+    got = BT.batch_attribution("clip", "m2ib", b, xs, xs, targets, keys,
+                               extras=extras, img_hw=32,
+                               opts={"m2ib_vlayer": 0})
+    assert got.shape == (B, 32, 32)
+    for i in range(B):
+        want = np.abs(vision_heatmap_iba(
+            b, xs[i], extras["txt_emb"][i], vlayer=0, out_hw=32,
+            key=jnp.asarray(keys[i], jnp.uint32)))
+        np.testing.assert_allclose(got[i], want, atol=5e-5, rtol=1e-4)

@@ -317,6 +317,7 @@ _DEFAULT_OPTS = {
     "occ_window": 64, "occ_stride": 32,
     "shap_samples": 25,
     "gc_layer": "layer4",
+    "m2ib_vlayer": 9,         # bottleneck insertion block (iba.py vlayer)
 }
 
 
@@ -437,7 +438,7 @@ def _vit_adapter(name, bundle, img_hw, steps, opts):
 CLIP_EXTRA_KIND = {
     "eclip": "txt", "eclip_nograd": "txt", "eclip_wo": "txt",
     "maskclip": "txt", "grad_cam": "txt", "selfattn": "none",
-    "game": "tok", "rollout": "tok", "lrp": "tok",
+    "game": "tok", "rollout": "tok", "lrp": "tok", "m2ib": "txt",
 }
 
 
@@ -466,6 +467,25 @@ def _clip_adapter(name, bundle, img_hw, steps, opts):
         "lrp": lambda p, x, t, k, e: up(CE._clip_lrp_jit(
             model, cfg, 0, 0, p, x[None], e[None])[1]),
     }
+    if name == "m2ib":
+        from .clip_m2ib import _iba_jit
+        vlayer = opts["m2ib_vlayer"]
+
+        def m2ib_fn(p, x, t, k, e):
+            # EXACTLY the sequential vision_heatmap_iba defaults (vlayer 9,
+            # 10 steps, bottleneck batch 10, beta 0.1, lr 1.0) and the same
+            # per-image noise stream (split(key, steps) -> per-step draws),
+            # so batched == sequential per image; minmax + abs as the
+            # registry entry applies (registry_clip._m2ib_entry)
+            h_shape = (cfg.tokens, cfg.vision_width)
+            step_keys = jax.random.split(k, 10)
+            noises = jax.vmap(lambda kk: jax.random.normal(
+                kk, (10,) + h_shape))(step_keys)
+            m = _iba_jit.__wrapped__(model, cfg, vlayer, 10, 0.1, 1.0,
+                                     img_hw, p, x[None], e[None], noises)
+            return jnp.abs((m - m.min()) / (m.max() - m.min()))
+
+        return m2ib_fn
     if name == "rollout":
         def ro_fn(p, x, t, k, e):
             _, taps = at(p, x[None])
