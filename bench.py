@@ -391,6 +391,17 @@ def bench_clip(extras):
     su = lambda i: surgery_map(bundle, imgs[i % 4], stxt)
     su(0)
     row("clip_b16_surgery_attr_per_sec", _host_rate(su, 6))
+    if budget_ok("surgery_batch"):
+        from xai_tpu.methods import batch as BT
+        import numpy as _np
+        sk = _np.stack([_np.asarray(jax.random.fold_in(
+            jax.random.PRNGKey(6), i)) for i in range(8)])
+        sxs = _np.asarray(imgs[_np.arange(8) % 4])
+        sb = lambda i: BT.batch_attribution(
+            "clip", "surgery", bundle, sxs, sxs, _np.arange(8), sk,
+            extras={})
+        sb(0)
+        row("clip_b16_surgery_batch8_attr_per_sec", _host_rate(sb, 2) * 8)
 
     if not budget_ok("vision_heatmap_iba"):
         return

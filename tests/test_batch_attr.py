@@ -495,3 +495,22 @@ def test_clip_m2ib_batch_matches_single(clip_setup):
             b, xs[i], extras["txt_emb"][i], vlayer=0, out_hw=32,
             key=jnp.asarray(keys[i], jnp.uint32)))
         np.testing.assert_allclose(got[i], want, atol=5e-5, rtol=1e-4)
+
+
+def test_clip_surgery_batch_matches_sequential(clip_setup):
+    """Batched surgery builds each image's text table (target first +
+    other classes) on device exactly as the sequential registry entry."""
+    from xai_tpu.registry import AttrContext
+    from xai_tpu.registry_clip import _surgery_entry
+
+    b, xs, targets, keys, extras = clip_setup
+    got = BT.batch_attribution("clip", "surgery", b, xs, xs, targets, keys,
+                               extras=extras, img_hw=32)
+    assert got.shape == (B, 32, 32)
+    for i in range(B):
+        ctx = AttrContext(bundle=b, x=jnp.asarray(xs[i]), trans_img=xs[i],
+                          target=int(targets[i]),
+                          key=jnp.asarray(keys[i], jnp.uint32), img_hw=32,
+                          extras={})
+        want = _surgery_entry(ctx)
+        np.testing.assert_allclose(got[i], want, atol=5e-5, rtol=1e-4)

@@ -439,6 +439,7 @@ CLIP_EXTRA_KIND = {
     "eclip": "txt", "eclip_nograd": "txt", "eclip_wo": "txt",
     "maskclip": "txt", "grad_cam": "txt", "selfattn": "none",
     "game": "tok", "rollout": "tok", "lrp": "tok", "m2ib": "txt",
+    "surgery": "none",
 }
 
 
@@ -467,6 +468,22 @@ def _clip_adapter(name, bundle, img_hw, steps, opts):
         "lrp": lambda p, x, t, k, e: up(CE._clip_lrp_jit(
             model, cfg, 0, 0, p, x[None], e[None])[1]),
     }
+    if name == "surgery":
+        from .clip_surgery import _surgery_map_jit
+        table = jnp.asarray(bundle.extras["text_embeddings"])
+        n_txt = int(min(60, table.shape[0]))
+
+        def surg_fn(p, x, t, k, e):
+            # per-image text table: target caption first + the other
+            # first-(n_txt-1) class texts, exactly as the sequential
+            # registry entry builds it (registry_clip._surgery_entry)
+            j = jnp.arange(n_txt - 1)
+            others = jnp.where(j < t, j, j + 1)
+            txt = jnp.concatenate([table[t][None], table[others]])
+            return jnp.abs(_surgery_map_jit.__wrapped__(
+                model, cfg, p, x[None], txt))
+
+        return surg_fn
     if name == "m2ib":
         from .clip_m2ib import _iba_jit
         vlayer = opts["m2ib_vlayer"]
