@@ -94,3 +94,13 @@ def test_evaluate_imagenet_seg_batched_matches(tmp_path):
         base + ["--output_dir", str(tmp_path / "b"), "--image_batch", "2"]))
     for k in seq:
         assert abs(seq[k] - bat[k]) < 1e-6, (k, seq[k], bat[k])
+
+
+def test_qualitative_generation_tiny(tmp_path):
+    from xai_tpu.runners.qualitative_generation import build_parser, generate
+    args = build_parser().parse_args(
+        ["--model", "TINY_CNN", "--image_count", "1", "--synthetic", "1",
+         "--methods", "grad,ig", "--output_dir", str(tmp_path)])
+    generate(args)
+    pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
+    assert len(pngs) == 1
