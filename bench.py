@@ -396,7 +396,7 @@ def bench_clip(extras):
         import numpy as _np
         sk = _np.stack([_np.asarray(jax.random.fold_in(
             jax.random.PRNGKey(6), i)) for i in range(8)])
-        sxs = _np.asarray(imgs[_np.arange(8) % 4])
+        sxs = jnp.concatenate([imgs[:4], imgs[:4]])
         sb = lambda i: BT.batch_attribution(
             "clip", "surgery", bundle, sxs, sxs, _np.arange(8), sk,
             extras={})
@@ -416,7 +416,8 @@ def bench_clip(extras):
         mk = _np.stack([_np.asarray(jax.random.fold_in(
             jax.random.PRNGKey(5), i)) for i in range(8)])
         memb = _np.tile(_np.asarray(txt).reshape(1, -1), (8, 1))
-        mxs = _np.asarray(imgs[_np.arange(8) % 4])
+        # device-resident inputs, same methodology as the other batch rows
+        mxs = jnp.concatenate([imgs[:4], imgs[:4]])
         mb = lambda i: BT.batch_attribution(
             "clip", "m2ib", bundle, mxs, mxs, _np.arange(8), mk,
             extras={"txt_emb": memb})
