@@ -403,6 +403,13 @@ def bench_clip(extras):
         sb(0)
         row("clip_b16_surgery_batch8_attr_per_sec", _host_rate(sb, 2) * 8)
 
+    if budget_ok("clip_rise"):
+        from xai_tpu.methods.rise import rise
+        r1 = lambda i: rise(bundle, imgs[i % 4], i % 1000,
+                            jax.random.PRNGKey(i))
+        r1(0).block_until_ready()
+        row("clip_b16_rise2000_attr_per_sec", _blocked(r1, 2))
+
     if not budget_ok("vision_heatmap_iba"):
         return
     from xai_tpu.methods.clip_m2ib import vision_heatmap_iba
