@@ -15,10 +15,12 @@ image at a time):
   IG, AGI, all ViT explainers, all CLIP dense explainers) wraps its
   existing fused core in ``jit(vmap(...))`` — the per-image cores are pure
   traceable functions, so batching is one transform, not a rewrite;
-- methods whose control flow is host-side combinatorial (XRAI, LIME, MDA,
-  TIS, ViT-CX, RISE's 2000-mask memory footprint, M2IB, surgery) keep the
-  per-image path — ``batch_attribution`` returns None and the caller falls
-  back.
+- LIME batches through its own fully-fused pipeline (lime_batch), ViT-CX
+  through vit_cx_batch (host clustering fed by one batched download), and
+  M2IB/surgery through vmapped adapters; only the host-side combinatorial
+  methods (XRAI, MDA, TIS's per-image KMeans, RISE's 2000-mask footprint)
+  keep the per-image path — ``batch_attribution`` returns None and the
+  caller falls back.
 
 Outputs are FINAL [B, H, W] saliencies (same post-processing as the
 single-image registry entries: abs-channel-sum, patch upsample, 14x14
@@ -289,12 +291,17 @@ _ADAPTER_CACHE: dict = {}
 def _cached_vmapped(name, anchor, extra_key, make):
     """jit(vmap(adapter)) cached per (name, anchor id, statics); the anchor
     object is held and identity-verified (id reuse after GC would otherwise
-    serve a stale trace — the _CAST_CACHE lesson)."""
+    serve a stale trace — the _CAST_CACHE lesson).  ``make`` runs ONLY on a
+    cache miss: adapter construction may itself dispatch eager device work
+    (fa/shap build their patch masks), which used to run on every flush."""
     key = (name, id(anchor), extra_key)
     hit = _ADAPTER_CACHE.get(key)
     if hit is not None and hit[0] is anchor:
         return hit[1]
-    fn = jax.jit(jax.vmap(make(), in_axes=(None, 0, 0, 0, 0)))
+    adapter = make()
+    if adapter is None:
+        return None
+    fn = jax.jit(jax.vmap(adapter, in_axes=(None, 0, 0, 0, 0)))
     _ADAPTER_CACHE[key] = (anchor, fn)
     return fn
 
@@ -381,7 +388,11 @@ def _cnn_adapter(name, bundle, img_hw, steps, opts):
     if name == "shap":
         mask = AB.patch_mask(img_hw, np_)
         n = np_ * np_
-        chunk = _fit_chunk(n + 1, 49)
+        # _shapley_jit pads the n+1 coalition steps to a chunk multiple
+        # internally — divisor-fitting here was harmful: n+1 = 197 is
+        # prime, so it degenerated the sweep to chunk=1 (197 scan steps
+        # of batch-1 forwards instead of 5 of batch-49)
+        chunk = min(49, n + 1)
         n_samp = opts["shap_samples"]
 
         def shap_fn(p, x, t, k, e):
@@ -470,8 +481,8 @@ def _clip_adapter(name, bundle, img_hw, steps, opts):
     }
     if name == "surgery":
         from .clip_surgery import _surgery_map_jit
-        table = jnp.asarray(bundle.extras["text_embeddings"])
-        n_txt = int(min(60, table.shape[0]))
+        txt_table = jnp.asarray(bundle.extras["text_embeddings"])
+        n_txt = int(min(60, txt_table.shape[0]))
 
         def surg_fn(p, x, t, k, e):
             # per-image text table: target caption first + the other
@@ -479,7 +490,7 @@ def _clip_adapter(name, bundle, img_hw, steps, opts):
             # registry entry builds it (registry_clip._surgery_entry)
             j = jnp.arange(n_txt - 1)
             others = jnp.where(j < t, j, j + 1)
-            txt = jnp.concatenate([table[t][None], table[others]])
+            txt = jnp.concatenate([txt_table[t][None], txt_table[others]])
             return jnp.abs(_surgery_map_jit.__wrapped__(
                 model, cfg, p, x[None], txt))
 
@@ -597,14 +608,14 @@ def batch_attribution(family, name, bundle, xs, trans_imgs, targets, keys,
     make_adapter = _ADAPTERS.get(family)
     if make_adapter is None:
         return None
-    adapter = make_adapter(name, bundle, img_hw, steps, opts)
-    if adapter is None:
-        return None
 
     anchor = bundle.apply
-    fn = _cached_vmapped((family, name), anchor,
-                         (img_hw, steps) + tuple(sorted(opts.items())),
-                         lambda: adapter)
+    fn = _cached_vmapped(
+        (family, name), anchor,
+        (img_hw, steps) + tuple(sorted(opts.items())),
+        lambda: make_adapter(name, bundle, img_hw, steps, opts))
+    if fn is None:
+        return None
     if family == "clip":
         kind = CLIP_EXTRA_KIND[name]
         if kind == "txt":
@@ -616,7 +627,7 @@ def batch_attribution(family, name, bundle, xs, trans_imgs, targets, keys,
     else:
         extra = jnp.zeros((B, 1))
     params = bundle.params
-    if dtype is not None and name not in ("agi",):
+    if dtype is not None:
         # generic low-precision sweep: the adapters' matmul/conv work runs
         # on the bf16 MXU path; patch upsamples and abs-sums ride along and
         # the result is cast back (rank stability covered by

@@ -228,7 +228,11 @@ def density_response(saliency: np.ndarray, flip_step: np.ndarray,
     total = flat.sum()
     per_step = np.bincount(flip_step, weights=flat,
                            minlength=n_steps + 1)[1:n_steps + 1]
-    frac = np.cumsum(per_step) / total
+    # an all-zero map (e.g. LIME with no positive segments) is 0/0 here;
+    # the NaN density is handled by mas_scores' NaN-ramp fallback exactly
+    # as the reference does — just don't spam RuntimeWarnings on the way
+    with np.errstate(invalid="ignore", divide="ignore"):
+        frac = np.cumsum(per_step) / total
     if mode in ("del", "morf", "lerf"):
         return np.concatenate([[1.0], 1.0 - frac])
     return np.concatenate([[0.0], frac])
@@ -305,10 +309,16 @@ def run_battery(apply_fn, params, input_img, saliency, blur_fn,
     mas_del = mas_scores(rise_del, dens_del, "del")
 
     # --- AIC ins/del (top-1-preserved binary response; AICTestFunctions) ---
-    aic_ins = monotone_normalize(ins.top1_is_target, 1.0, ins.baseline_top1,
-                                 "ins")
-    aic_del = monotone_normalize(dele.top1_is_target, 1.0, dele.baseline_top1,
-                                 "del")
+    # the clean image's top-1 indicator is read off the curve endpoints
+    # (insertion ends at the original; deletion starts there): for the
+    # driver's argmax target it is exactly 1.0, and for an explicit
+    # non-argmax target it is 0.0 — hard-coding 1.0 distorted that case
+    aic_ins = monotone_normalize(ins.top1_is_target,
+                                 float(ins.top1_is_target[-1]),
+                                 ins.baseline_top1, "ins")
+    aic_del = monotone_normalize(dele.top1_is_target,
+                                 float(dele.top1_is_target[0]),
+                                 dele.baseline_top1, "del")
 
     # --- MoRF / LeRF raw responses (PosNegPertFunctions returns raw) ---
     morf_res = dele.target_prob

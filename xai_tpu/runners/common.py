@@ -164,17 +164,21 @@ def normalize_input(trans_img: np.ndarray, family: str) -> jnp.ndarray:
     return normalize(jnp.asarray(trans_img), mean, std)
 
 
-def image_gates(bundle, x, blur_fn):
+def image_gates(bundle, x, blur_fn, gates: bool = True):
     """The reference's per-image sanity gates
     (evaluatePerturbation.py:561-570): predictions for the original, blurred
     and black images; the image is usable iff blur/black confidences are
-    lower and classes differ."""
+    lower and classes differ.  ``gates=False`` (--skip_gates / synthetic
+    runs) returns after the first forward — the blur + black probes' ok
+    verdict would be discarded anyway."""
     import numpy as _np
     # three jitted dispatches via the bundle's cached probs_fn (eager
     # softmax chains here used to cost ~10 round-trips per image)
     probs = _np.asarray(bundle.probs_fn(bundle.params, x[None])[0])
     target = int(probs.argmax())
     original_pred = float(probs[target])
+    if not gates:
+        return target, original_pred, True
     bl = _np.asarray(bundle.probs_fn(bundle.params, blur_fn(x[None]))[0])
     blur_class = int(bl.argmax())
     blur_own = float(bl[blur_class])

@@ -115,6 +115,9 @@ def evaluate_perturbation(args) -> dict:
     maps_store = None
     batch_buf = []
     t0 = time.time()
+    attr_dtype = {"bf16": jnp_bf16, "f32": None}[args.attr_dtype]
+    gating = not (args.synthetic or args.skip_gates)
+    base_key = jax.random.PRNGKey(args.seed)
 
     for item in stream:
         if images_used == args.image_count:
@@ -122,14 +125,15 @@ def evaluate_perturbation(args) -> dict:
         if correct is not None and correct[item.index] == 0:
             continue
         x = normalize_input(item.trans_img, family)
-        target, original_pred, ok = image_gates(bundle, x, blur)
-        if not ok and not args.synthetic and not args.skip_gates:
+        target, original_pred, ok = image_gates(bundle, x, blur,
+                                                gates=gating)
+        if not ok and gating:
             continue
         if classes_used[target] == images_per_class:
             continue
         classes_used[target] += 1
 
-        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), item.index)
+        key = jax.random.fold_in(base_key, item.index)
         # CLIP: target prompt embedding + real BPE token ids for the probed
         # methods (evaluatePerturbation.py:388, 698-704)
         extras = clip_extras(bundle, target) if family == "clip" else None
@@ -166,9 +170,7 @@ def evaluate_perturbation(args) -> dict:
 
         ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
                           target=target, key=key, img_hw=bundle.meta.img_hw,
-                          extras=extras,
-                          dtype={"bf16": jnp_bf16,
-                                 "f32": None}[args.attr_dtype])
+                          extras=extras, dtype=attr_dtype)
         t = time.time()
         saliency = get_attribution(family, args.attr_func, ctx)
         attr_time += time.time() - t
@@ -191,9 +193,7 @@ def evaluate_perturbation(args) -> dict:
             ctx = AttrContext(bundle=bundle, x=jnp.asarray(p["x"]),
                               trans_img=p["trans_img"], target=p["target"],
                               key=p["key"], img_hw=bundle.meta.img_hw,
-                              extras=p["extras"],
-                              dtype={"bf16": jnp_bf16,
-                                     "f32": None}[args.attr_dtype])
+                              extras=p["extras"], dtype=attr_dtype)
             t = time.time()
             bsal = get_attribution(family, args.attr_func, ctx)
             attr_time += time.time() - t
