@@ -81,13 +81,14 @@ def evaluate_imagenet_seg(args) -> dict:
         buf.clear()
 
     buf = []
+    base_key = jax.random.PRNGKey(args.seed)
     for i, item in enumerate(ds):
         if args.image_count and i >= args.image_count:
             break
         x = normalize_input(item.trans_img, family)
         target = int(jnp.argmax(bundle.logits_fn(bundle.params,
                                                  x[None])[0]))
-        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+        key = jax.random.fold_in(base_key, i)
         extras = clip_extras(bundle, target) if family == "clip" else None
         if args.image_batch > 1:
             buf.append({"x": np.asarray(x),

@@ -116,6 +116,7 @@ def evaluate_sanity(args) -> dict:
     totals = {"SSIM": 0.0, "SPR": 0.0, "HOG": 0.0}
     images_used = 0
     buf = []
+    base_key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     for item in stream:
         if images_used == args.image_count:
@@ -123,7 +124,7 @@ def evaluate_sanity(args) -> dict:
         if correct is not None and correct[item.index] == 0:
             continue
         x = normalize_input(item.trans_img, family)
-        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), item.index)
+        key = jax.random.fold_in(base_key, item.index)
 
         if image_batch > 1:
             import numpy as np
