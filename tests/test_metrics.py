@@ -163,3 +163,25 @@ def test_run_battery_smoke():
                            "MONO_pos", "MONO_neg"}
     for k, v in scores.items():
         assert np.isfinite(v), (k, v)
+
+
+def test_run_battery_explicit_nonargmax_target():
+    """An explicit target that is NOT the model's argmax must yield finite
+    scores: the AIC curves anchor on the clean-image top-1 indicator read
+    off the curve endpoints (a hard-coded original=1.0 used to distort
+    this case); the NaN-ramp fallback covers degenerate flat curves."""
+    import jax.numpy as jnp
+
+    from xai_tpu.ops.blur import make_blur_fn
+
+    b = tiny_bundle(hw=HW)
+    rs = np.random.RandomState(6)
+    x = rs.randn(HW, HW, 3).astype(np.float32)
+    sal = rs.rand(HW, HW).astype(np.float32)
+    argmax_t = int(jnp.argmax(b.apply(b.params, jnp.asarray(x)[None])[0]))
+    wrong_t = (argmax_t + 3) % 16
+    scores = C.run_battery(b.apply, b.params, x, sal,
+                           make_blur_fn(klen=5, nsig=5.0), chunk=17,
+                           target=wrong_t)
+    for k, v in scores.items():
+        assert np.isfinite(v), (k, v)
