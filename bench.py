@@ -445,6 +445,13 @@ def write_table(headline_rate):
 
 
 def main():
+    # persistent compile cache: a no-op on the tunnel backend, minutes
+    # saved on real TPU VMs where the driver re-runs bench every round
+    try:
+        from xai_tpu.runners.common import enable_compilation_cache
+        enable_compilation_cache()
+    except Exception:
+        pass
     rate = None
     try:
         rate = bench_resnet(EXTRAS)
