@@ -290,6 +290,11 @@ def bench_vit(extras):
     t1 = lambda i: VL.transformer_attribution(bundle, imgs[i % 4], i % 1000)
     t1(0).block_until_ready()
     row("vit_b16_t_attr_attr_per_sec", _pipelined(t1, 12))
+    if budget_ok("t_attr_batch"):
+        tb = lambda i: BT.batch_attribution("vit", "t_attr", bundle, imgs,
+                                            imgs, targets, keys)
+        tb(0)
+        row("vit_b16_t_attr_batch8_attr_per_sec", _host_rate(tb, 3) * 8)
 
     if not budget_ok("vit_cx"):
         return
