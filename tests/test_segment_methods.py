@@ -170,3 +170,44 @@ def test_quickshift_device_matches_native():
     # same partition up to label permutation
     pair = a.astype(np.int64) * (b.max() + 1) + b
     assert len(np.unique(pair)) == a.max() + 1
+
+
+def test_parents_to_labels_matches_host_compaction():
+    """The on-device sort-free compaction (pointer jumping + cumsum rank,
+    used inside the fused LIME jit) is bit-identical to the host
+    np.unique form for real quickshift parent maps and synthetic chains."""
+    import jax.numpy as jnp
+
+    from xai_tpu.ops.quickshift_jax import (_compact, _labels_from_parents,
+                                            parents_to_labels_batch)
+
+    rs = np.random.RandomState(0)
+    cases = []
+    # synthetic parent FORESTS (quickshift parents always point to a
+    # strictly-higher-density pixel or to self, so the map is acyclic)
+    for _ in range(3):
+        n = 24 * 24
+        parent = np.arange(n, dtype=np.int32)
+        for i in range(n - 1):
+            if rs.rand() < 0.8:
+                parent[i] = rs.randint(i + 1, n)
+        cases.append(parent.reshape(24, 24))
+    # plus a REAL device-quickshift parent map
+    from xai_tpu.ops.quickshift_jax import _parents_batch
+    img = rs.rand(1, 24, 24, 3).astype(np.float32)
+    real = np.asarray(_parents_batch(
+        jnp.asarray(img), 6, 2, jnp.float32(0.2),
+        jnp.float32(1.0 / (2.0 * 2.0 * 2.0)), jnp.float32(64.0)))[0]
+    cases.append(real.astype(np.int32))
+    for parent in cases:
+        want = _compact(parent.reshape(-1), 24, 24)
+        got, count = _labels_from_parents(jnp.asarray(parent.reshape(-1)))
+        np.testing.assert_array_equal(np.asarray(got).reshape(24, 24), want)
+        assert int(count) == want.max() + 1
+
+    batch = np.stack([c for c in cases])
+    labels, counts = parents_to_labels_batch(jnp.asarray(batch))
+    for i, parent in enumerate(cases):
+        want = _compact(parent.reshape(-1), 24, 24)
+        np.testing.assert_array_equal(
+            np.asarray(labels[i]).reshape(24, 24), want)
