@@ -160,13 +160,16 @@ def shapley_sampling(bundle, x, target, key, num_patches: int = 14,
     n = num_patches ** 2
     perms = jax.vmap(lambda k: jax.random.permutation(k, n))(
         jax.random.split(key, n_samples))
+    base = jnp.broadcast_to(jnp.asarray(baseline, x.dtype), x.shape)
     return _shapley_jit(bundle.apply, bundle.params, x, mask, target, perms,
-                        n, chunk)
+                        n, chunk, base)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 6, 7))
-def _shapley_jit(apply_fn, params, x, mask, target, perms, n_groups, chunk):
-    baseline = jnp.zeros_like(x)
+def _shapley_jit(apply_fn, params, x, mask, target, perms, n_groups, chunk,
+                 baseline=None):
+    if baseline is None:
+        baseline = jnp.zeros_like(x)
 
     def one_perm(perm):
         # group -> position in permutation; coalition at step s = first s

@@ -29,7 +29,9 @@ def _make_norm_apply(apply_fn, mean, std):
     std = jnp.asarray(std)
 
     def norm_apply(p, x):
-        return apply_fn(p, (x - mean) / std)
+        # cast back to x.dtype: the f32 mean/std constants would otherwise
+        # silently promote a bf16 attack sweep to f32 (no-op for f32 x)
+        return apply_fn(p, ((x - mean) / std).astype(x.dtype))
 
     return norm_apply
 

@@ -28,6 +28,7 @@ down/up for fa/occ), so the driver's metric battery consumes them directly.
 """
 from __future__ import annotations
 
+import collections
 import functools
 
 import jax
@@ -39,53 +40,10 @@ from . import gradient as G
 from . import guided as GD
 from .agi import _agi_attack, _jit_napply, _make_norm_apply
 from .gig import _gig_device
+# the flattened fwd+VJP sweep core lives in gradient.py so the bench path
+# (gradient.ig_batch) and this production path share ONE implementation
+from .gradient import _fit_chunk, _flat_grads, _flat_logits
 from ..ops.resize import resize_bilinear, resize_nearest_exact
-
-
-# ---------------------------------------------------------------------------
-# shared flattened fwd+VJP sweep (the ig_batch pattern)
-# ---------------------------------------------------------------------------
-
-def _flat_grads(apply_fn, params, imgs, tgts, chunk):
-    """imgs: [N, H, W, C]; tgts: [N] -> (grads f32 [N, H, W, C], logits f32
-    [N]) via one chunked ``lax.map`` of batched VJPs."""
-    n = imgs.shape[0]
-    imgs_c = imgs.reshape((n // chunk, chunk) + imgs.shape[1:])
-    tgt_c = tgts.reshape(n // chunk, chunk)
-
-    def scores_sum(xb, tb):
-        logits = apply_fn(params, xb).astype(jnp.float32)
-        s = jnp.take_along_axis(logits, tb[:, None], axis=1)[:, 0]
-        return s.sum(), s
-
-    def one(args):
-        xb, tb = args
-        (_, s), g = jax.value_and_grad(scores_sum, has_aux=True)(xb, tb)
-        return g, s
-
-    g, s = jax.lax.map(one, (imgs_c, tgt_c))
-    return (g.reshape(imgs.shape).astype(jnp.float32),
-            s.reshape(n).astype(jnp.float32))
-
-
-def _flat_logits(apply_fn, params, imgs, tgts, chunk):
-    n = imgs.shape[0]
-    imgs_c = imgs.reshape((n // chunk, chunk) + imgs.shape[1:])
-    tgt_c = tgts.reshape(n // chunk, chunk)
-
-    def one(args):
-        xb, tb = args
-        logits = apply_fn(params, xb).astype(jnp.float32)
-        return jnp.take_along_axis(logits, tb[:, None], axis=1)[:, 0]
-
-    return jax.lax.map(one, (imgs_c, tgt_c)).reshape(n)
-
-
-def _fit_chunk(n, chunk):
-    chunk = min(chunk, n)
-    while n % chunk:
-        chunk -= 1
-    return chunk
 
 
 # ---------------------------------------------------------------------------
@@ -138,13 +96,17 @@ def ig_lig_batch(bundle, xs, targets, steps=50, alpha_star=1.0, dtype=None,
 # IDG (saliencyMethods.py:74-136) / IDGI (:139-181), batched
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
-def _idg_batch_jit(apply_fn, params, xs, targets, steps, chunk):
-    B = xs.shape[0]
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def _idg_batch_jit(apply_fn, params, xs_sweep, xs_f32, targets, steps,
+                   chunk):
+    """All alpha/slope/weight math stays f32; only the model sweeps run in
+    ``xs_sweep.dtype`` (the images are built f32 then cast — an f32 alpha
+    broadcast onto bf16 images silently promotes the whole sweep)."""
+    B = xs_f32.shape[0]
     tgt = jnp.repeat(targets, steps)
     uni = jnp.linspace(0.0, 1.0, steps)
-    pilot_imgs = (uni.reshape(1, steps, 1, 1, 1) *
-                  xs[:, None]).reshape((B * steps,) + xs.shape[1:])
+    pilot_imgs = (uni.reshape(1, steps, 1, 1, 1) * xs_f32[:, None]).reshape(
+        (B * steps,) + xs_f32.shape[1:]).astype(xs_sweep.dtype)
     pilot = _flat_logits(apply_fn, params, pilot_imgs, tgt,
                          chunk).reshape(B, steps)
     step_size = 1.0 / (steps - 1)
@@ -153,28 +115,29 @@ def _idg_batch_jit(apply_fn, params, xs, targets, steps, chunk):
         axis=1)
     alphas, substep = jax.vmap(
         lambda s: G._alpha_parameters(s, steps, step_size))(slopes)
-    imgs = (alphas[:, :, None, None, None] *
-            xs[:, None]).reshape((B * steps,) + xs.shape[1:])
+    imgs = (alphas[:, :, None, None, None] * xs_f32[:, None]).reshape(
+        (B * steps,) + xs_f32.shape[1:]).astype(xs_sweep.dtype)
     grads, logits = _flat_grads(apply_fn, params, imgs, tgt, chunk)
-    grads = grads.reshape((B, steps) + xs.shape[1:])
+    grads = grads.reshape((B, steps) + xs_f32.shape[1:])
     logits = logits.reshape(B, steps)
     d_alpha = alphas[:, 1:] - alphas[:, :-1]
     new_slopes = jnp.concatenate(
         [jnp.zeros((B, 1)), (logits[:, 1:] - logits[:, :-1]) / d_alpha],
         axis=1)
     weighted = grads * (new_slopes * substep)[:, :, None, None, None]
-    return jnp.abs((weighted.mean(axis=1) * xs).sum(-1))
+    return jnp.abs((weighted.mean(axis=1) * xs_f32).sum(-1))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
-def _idgi_batch_jit(apply_fn, params, xs, targets, steps, chunk):
-    B = xs.shape[0]
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def _idgi_batch_jit(apply_fn, params, xs_sweep, xs_f32, targets, steps,
+                    chunk):
+    B = xs_f32.shape[0]
     alphas = jnp.linspace(0.0, 1.0, steps)
-    imgs = (alphas.reshape(1, steps, 1, 1, 1) *
-            xs[:, None]).reshape((B * steps,) + xs.shape[1:])
+    imgs = (alphas.reshape(1, steps, 1, 1, 1) * xs_f32[:, None]).reshape(
+        (B * steps,) + xs_f32.shape[1:]).astype(xs_sweep.dtype)
     tgt = jnp.repeat(targets, steps)
     grads, logits = _flat_grads(apply_fn, params, imgs, tgt, chunk)
-    grads = grads.reshape((B, steps) + xs.shape[1:])
+    grads = grads.reshape((B, steps) + xs_f32.shape[1:])
     logits = logits.reshape(B, steps)
     d = logits[:, 1:] - logits[:, :-1]
     g2 = grads[:, :-1] ** 2
@@ -182,6 +145,28 @@ def _idgi_batch_jit(apply_fn, params, xs, targets, steps, chunk):
     term = jnp.where(denom > 0,
                      g2 * d[:, :, None, None, None] / denom, 0.0)
     return jnp.abs(term.sum(axis=1).sum(-1))
+
+
+def idg_batch(bundle, xs, targets, steps=50, dtype=None, chunk=100):
+    xs = jnp.asarray(xs, jnp.float32)
+    chunk = _fit_chunk(xs.shape[0] * steps, chunk)
+    tb = jnp.asarray(targets, jnp.int32)
+    params, xsw = bundle.params, xs
+    if dtype is not None:
+        params = G._cast_params_cached(bundle, dtype)
+        xsw = xs.astype(dtype)
+    return _idg_batch_jit(bundle.apply, params, xsw, xs, tb, steps, chunk)
+
+
+def idgi_batch(bundle, xs, targets, steps=50, dtype=None, chunk=100):
+    xs = jnp.asarray(xs, jnp.float32)
+    chunk = _fit_chunk(xs.shape[0] * steps, chunk)
+    tb = jnp.asarray(targets, jnp.int32)
+    params, xsw = bundle.params, xs
+    if dtype is not None:
+        params = G._cast_params_cached(bundle, dtype)
+        xsw = xs.astype(dtype)
+    return _idgi_batch_jit(bundle.apply, params, xsw, xs, tb, steps, chunk)
 
 
 # ---------------------------------------------------------------------------
@@ -250,21 +235,33 @@ def sg_batch(bundle, xs, targets, keys, steps=50, samples=25,
 # AGI: vmapped PGD attack + per-image host percentile clip (AGI.py:83-139)
 # ---------------------------------------------------------------------------
 
-def agi_batch(bundle, trans_imgs, epsilon=0.05, topk=1, max_iter=20):
+def agi_batch(bundle, trans_imgs, epsilon=0.05, topk=1, max_iter=20,
+              dtype=None):
     """Driver config: attack classes range(0, 999, 1000//topk); percentile
-    [80, 99] clip per image.  trans_imgs: [B, H, W, 3] in [0, 1]."""
+    [80, 99] clip per image.  trans_imgs: [B, H, W, 3] in [0, 1].
+
+    ``dtype=bf16`` runs the PGD attack sweep (forwards + both softmax VJPs,
+    the delta accumulation, and the initial prediction) in bf16; the
+    percentile post-processing is always f32.  sign() makes FGSM steps
+    robust to the quantization, but the attack trajectory CAN diverge from
+    f32 where an argmax flips — bf16 here is a throughput operating point,
+    not a bit-parity one."""
     xs = jnp.asarray(trans_imgs, jnp.float32)
     napply = _make_norm_apply(bundle.apply, tuple(bundle.meta.mean),
                               tuple(bundle.meta.std))
-    init_preds = jnp.argmax(_jit_napply(napply)(bundle.params, xs), axis=-1)
+    params, xsw = bundle.params, xs
+    if dtype is not None:
+        params = G._cast_params_cached(bundle, dtype)
+        xsw = xs.astype(dtype)
+    init_preds = jnp.argmax(_jit_napply(napply)(params, xsw), axis=-1)
     selected = list(range(0, 999, int(1000 / topk)))
 
-    total = _agi_batch_jit(napply, bundle.params, xs, init_preds,
+    total = _agi_batch_jit(napply, params, xsw, init_preds,
                            tuple(selected), max_iter, epsilon)
     # percentile post stays on device (downloading the [B, H, W, 3] raw
     # deltas was 3x the bytes of the final maps at ~8 MB/s tunnel BW)
     from .agi import _agi_post
-    return np.abs(np.asarray(_agi_post(total)))
+    return np.abs(np.asarray(_agi_post(total.astype(jnp.float32))))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
@@ -285,7 +282,9 @@ def _agi_batch_jit(napply, params, xs, init_preds, selected, max_iter,
 # generic vmapped per-image adapters
 # ---------------------------------------------------------------------------
 
-_ADAPTER_CACHE: dict = {}
+_ADAPTER_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_ADAPTER_CACHE_CAP = 64   # ~46 methods x a couple of live models; LRU
+                          # eviction only re-pays a trace, never corrupts
 
 
 def _cached_vmapped(name, anchor, extra_key, make):
@@ -293,16 +292,22 @@ def _cached_vmapped(name, anchor, extra_key, make):
     object is held and identity-verified (id reuse after GC would otherwise
     serve a stale trace — the _CAST_CACHE lesson).  ``make`` runs ONLY on a
     cache miss: adapter construction may itself dispatch eager device work
-    (fa/shap build their patch masks), which used to run on every flush."""
+    (fa/shap build their patch masks), which used to run on every flush.
+    Bounded LRU: an unbounded map would pin every swept model's traces (and
+    through the anchor, its params) for process lifetime."""
     key = (name, id(anchor), extra_key)
     hit = _ADAPTER_CACHE.get(key)
     if hit is not None and hit[0] is anchor:
+        _ADAPTER_CACHE.move_to_end(key)
         return hit[1]
     adapter = make()
     if adapter is None:
         return None
     fn = jax.jit(jax.vmap(adapter, in_axes=(None, 0, 0, 0, 0)))
     _ADAPTER_CACHE[key] = (anchor, fn)
+    _ADAPTER_CACHE.move_to_end(key)
+    while len(_ADAPTER_CACHE) > _ADAPTER_CACHE_CAP:
+        _ADAPTER_CACHE.popitem(last=False)
     return fn
 
 
@@ -573,23 +578,19 @@ def batch_attribution(family, name, bundle, xs, trans_imgs, targets, keys,
             return np.asarray(ig_lig_batch(bundle, xs, targets, steps, 0.9,
                                            dtype))
         if name == "idg":
-            chunk = _fit_chunk(B * steps, min(bundle.meta.batch_size * 2,
-                                              100))
-            return np.asarray(_idg_batch_jit(
-                bundle.apply, bundle.params, jnp.asarray(xs, jnp.float32),
-                jnp.asarray(targets, jnp.int32), steps, chunk))
+            chunk = min(bundle.meta.batch_size * 2, 100)
+            return np.asarray(idg_batch(bundle, xs, targets, steps, dtype,
+                                        chunk))
         if name == "idgi":
-            chunk = _fit_chunk(B * steps, min(bundle.meta.batch_size * 2,
-                                              100))
-            return np.asarray(_idgi_batch_jit(
-                bundle.apply, bundle.params, jnp.asarray(xs, jnp.float32),
-                jnp.asarray(targets, jnp.int32), steps, chunk))
+            chunk = min(bundle.meta.batch_size * 2, 100)
+            return np.asarray(idgi_batch(bundle, xs, targets, steps, dtype,
+                                         chunk))
         if name == "sg":
             return np.asarray(sg_batch(bundle, xs, targets,
                                        jnp.asarray(keys), steps,
                                        dtype=dtype))
         if name == "agi":
-            return agi_batch(bundle, trans_imgs)
+            return agi_batch(bundle, trans_imgs, dtype=dtype)
         if name == "lime":
             from .lime import lime_batch
             # registry parity: model on the UNNORMALIZED image, mask * 3.0

@@ -13,6 +13,7 @@ evaluatePerturbation.py:181).
 """
 from __future__ import annotations
 
+import collections
 import functools
 
 import jax
@@ -86,7 +87,8 @@ def inp_x_grad(bundle, x, target) -> jnp.ndarray:
 # IG / LIG (saliencyMethods.py:13-72)
 # ---------------------------------------------------------------------------
 
-_CAST_CACHE: dict = {}
+_CAST_CACHE: "OrderedDict" = collections.OrderedDict()
+_CAST_CACHE_CAP = 8     # (params, dtype) pairs; eviction only re-pays a cast
 
 
 def _cast_params_cached(bundle, dtype):
@@ -99,17 +101,72 @@ def _cast_params_cached(bundle, dtype):
     dict can hand its CPython id to a different model's params (a real
     hazard in multi-model sweeps), which would silently attribute with the
     wrong weights.  Holding the reference pins the id AND lets us verify
-    identity on every hit."""
+    identity on every hit.  The cache is a small LRU: unbounded growth
+    would pin every swept model's full f32 + bf16 trees in HBM forever."""
     key = (id(bundle.params), jnp.dtype(dtype).name)
     hit = _CAST_CACHE.get(key)
     if hit is not None and hit[0] is bundle.params:
+        _CAST_CACHE.move_to_end(key)
         return hit[1]
     cast = jax.tree.map(
         lambda l: l.astype(dtype) if jnp.issubdtype(l.dtype,
                                                     jnp.floating) else l,
         bundle.params)
     _CAST_CACHE[key] = (bundle.params, cast)
+    _CAST_CACHE.move_to_end(key)
+    while len(_CAST_CACHE) > _CAST_CACHE_CAP:
+        _CAST_CACHE.popitem(last=False)
     return cast
+
+
+# ---------------------------------------------------------------------------
+# shared flattened fwd+VJP sweep core — the ONE implementation of the
+# "fold the image axis into the chunked interpolation sweep" pattern; both
+# ig_batch (bench path) and methods.batch (production --image_batch path)
+# build on these so a numerical fix lands in every batched IG-family method
+# ---------------------------------------------------------------------------
+
+
+def _flat_grads(apply_fn, params, imgs, tgts, chunk):
+    """d logit[tgt]/d img for a flat [N, ...] image stack, scanned in
+    ``chunk``-sized device batches.  Returns (grads f32, logits f32)."""
+    n = imgs.shape[0]
+    imgs_c = imgs.reshape((n // chunk, chunk) + imgs.shape[1:])
+    tgt_c = tgts.reshape(n // chunk, chunk)
+
+    def scores_sum(xb, tb):
+        logits = apply_fn(params, xb).astype(jnp.float32)
+        s = jnp.take_along_axis(logits, tb[:, None], axis=1)[:, 0]
+        return s.sum(), s
+
+    def one(args):
+        xb, tb = args
+        (_, s), g = jax.value_and_grad(scores_sum, has_aux=True)(xb, tb)
+        return g, s
+
+    g, s = jax.lax.map(one, (imgs_c, tgt_c))
+    return (g.reshape(imgs.shape).astype(jnp.float32),
+            s.reshape(n).astype(jnp.float32))
+
+
+def _flat_logits(apply_fn, params, imgs, tgts, chunk):
+    n = imgs.shape[0]
+    imgs_c = imgs.reshape((n // chunk, chunk) + imgs.shape[1:])
+    tgt_c = tgts.reshape(n // chunk, chunk)
+
+    def one(args):
+        xb, tb = args
+        logits = apply_fn(params, xb).astype(jnp.float32)
+        return jnp.take_along_axis(logits, tb[:, None], axis=1)[:, 0]
+
+    return jax.lax.map(one, (imgs_c, tgt_c)).reshape(n)
+
+
+def _fit_chunk(n, chunk):
+    chunk = min(chunk, n)
+    while n % chunk:
+        chunk -= 1
+    return chunk
 
 
 def ig(bundle, x, target, steps: int = 50, alpha_star: float = 1.0,
@@ -172,28 +229,14 @@ def lig(bundle, x, target, steps: int = 50, baseline=0.0,
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def _ig_batch_jit(apply_fn, params, xs, targets, steps, chunk):
     """Mean-of-grads per image, [B, H, W, C] — the caller applies the
-    f32 x-product."""
+    f32 x-product.  Thin wrapper over the shared _flat_grads sweep core."""
     B = xs.shape[0]
     alphas = jnp.linspace(0.0, 1.0, steps).astype(xs.dtype)
     imgs = (alphas.reshape(1, steps, 1, 1, 1) *
             xs[:, None]).reshape((B * steps,) + xs.shape[1:])
     tgt = jnp.repeat(targets, steps)
-
-    def scores_sum(xb, tb):
-        logits = apply_fn(params, xb).astype(jnp.float32)
-        return jnp.take_along_axis(logits, tb[:, None], axis=1).sum()
-
-    n = B * steps
-    imgs_c = imgs.reshape((n // chunk, chunk) + xs.shape[1:])
-    tgt_c = tgt.reshape(n // chunk, chunk)
-
-    def one(args):
-        xb, tb = args
-        return jax.grad(scores_sum)(xb, tb)
-
-    grads = jax.lax.map(one, (imgs_c, tgt_c)).reshape(
-        (B, steps) + xs.shape[1:])
-    return grads.astype(jnp.float32).mean(axis=1)
+    grads, _ = _flat_grads(apply_fn, params, imgs, tgt, chunk)
+    return grads.reshape((B, steps) + xs.shape[1:]).mean(axis=1)
 
 
 def ig_batch(bundle, xs, targets, steps: int = 50,

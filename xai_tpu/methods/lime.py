@@ -163,7 +163,10 @@ def lime_batch(bundle, imgs, keys, num_samples: int = 1000,
     [B, H, W] binary masks."""
     imgs = np.asarray(imgs, dtype=np.float32)
     B, H, W = imgs.shape[:3]
-    keys_u32 = np.stack([_key_words(k) for k in np.asarray(keys)])
+    # iterate `keys` directly: np.asarray on a list of new-style typed PRNG
+    # keys raises (key arrays refuse numpy conversion); _key_words handles
+    # each form per element
+    keys_u32 = np.stack([_key_words(k) for k in keys])
 
     params = bundle.params
     fwd_dtype = jnp.float32

@@ -69,17 +69,11 @@ def retrieve_maf(bundle, x, sal2d, segments, mode, blur_fn, chunk=25):
 
 
 def _normalize_no_abs(resp, original, base, mode):
-    out = np.asarray(resp, dtype=np.float64).copy()
-    mn, mx = 1.0, 0.0
-    for i in range(len(out)):
-        v = np.clip((out[i] - base) / (original - base), 0.0, 1.0)
-        if mode == "del":
-            mn = min(mn, v)
-            out[i] = mn
-        else:
-            mx = max(mx, v)
-            out[i] = mx
-    return out
+    """Single source of truth: mas_calibrate._normalize_response (the same
+    MASCalibrate.py:1252-1266 loop) — a quirk fix there must apply here."""
+    from .mas_calibrate import _normalize_response
+    return _normalize_response(np.asarray(resp, dtype=np.float64), original,
+                               base, mode)
 
 
 def clean_attribution(bundle, trans_img, x, saliency_3c, iterations: int,

@@ -220,6 +220,9 @@ def remove_pixels(bundle, x, attr_3c, total_steps=None, mode="del",
         step_size = int(H * H / total_steps)
         n_steps = (H * H + step_size - 1) // step_size
         order = np.flip(np.argsort(flat.reshape(1, -1), axis=1), axis=-1)[0]
+        # reference quirk (MASCalibrate.py:1084-1088): the (i-1) slice is
+        # shifted one step EARLY — step start_step's own block is zeroed
+        # while the final block survives — reproduced deliberately
         for i in range(int(start_step), n_steps):
             coords = order[step_size * (i - 1): step_size * i]
             flat[coords] = 0.0

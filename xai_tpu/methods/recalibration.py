@@ -14,8 +14,7 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5, 6))
-def _expected_ig(apply_fn, params, x, refs, target, k, chunk,
-                 alphas_key=None):
+def _expected_ig(apply_fn, params, x, refs, target, k, chunk):
     """refs: [B, H, W, C] reference bag; k alphas in (0, 1]."""
     B = refs.shape[0]
     alphas = (jnp.arange(1, k + 1) / k).reshape(k, 1, 1, 1)

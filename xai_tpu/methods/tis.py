@@ -121,7 +121,12 @@ def tis(bundle, x, target=None, n_masks: int = 1024,
 
     raw = jnp.einsum("m,mt->t", scores, masks)
     coverage = masks.sum(axis=0)
-    sal = raw / coverage
+    # a token in no centroid's top-k has raw == 0 AND coverage == 0; the
+    # reference's raw/coverage (TIS.py:358) turns that into a NaN that
+    # poisons the whole map through the max-normalize — clamp so the dead
+    # token scores 0 instead (covered tokens have integer coverage >= 1,
+    # so this changes nothing for them)
+    sal = raw / jnp.maximum(coverage, 1.0)
     p = int(n_tokens_total ** 0.5)
     sal = sal.reshape(p, p)
     if normalise:

@@ -99,6 +99,11 @@ def xrai_full(attr: np.ndarray, segs: list, area_perc_th: float = 1.0,
             del remaining[key]
         if not remaining:
             break
+        if best_key is None:
+            # every gain compared False (NaN base attribution) — the
+            # reference crashes here (XRAIBuilder.py:661-689 indexes
+            # remaining_masks[None]); degrade to the -inf fill instead
+            break
         added = remaining[best_key]
         diff = added & ~current_mask
         current_mask |= added
