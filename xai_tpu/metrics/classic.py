@@ -10,6 +10,8 @@ pass per call instead of the reference's 224-step host loop.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -100,22 +102,28 @@ class MASMetric(_RevealMetric):
         return embs, classes, out.target_prob, flip
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _taps_chunk(apply_taps, params, start, finish, mask_hw, steps):
+    """One reveal-chunk of the embedding capture; module-level so jax.jit
+    caches on the bundle's stable apply_taps identity — a per-call closure
+    here retraced + re-compiled the full taps model for EVERY image."""
+    def one(s):
+        img = jnp.where(mask_hw <= s, finish, start)
+        logits, taps = apply_taps(params, img[None])
+        return taps["block_out"][:, 0], jnp.argmax(logits[0])
+    return jax.vmap(one)(steps)
+
+
 def _embeddings_sweep(bundle, start, finish, flip, n_steps, chunk=8):
     """ViT-embedding capture mode (MASTestFunctions.py:121-132, 283-295):
     per reveal step, every block's token embeddings + the predicted class."""
-    import jax
-    import functools as ft
-
     H = start.shape[0]
     mask_hw = jnp.asarray(flip).reshape(H, H, 1)
 
-    @ft.partial(jax.jit, static_argnums=())
     def batch_taps(steps):
-        def one(s):
-            img = jnp.where(mask_hw <= s, finish, start)
-            logits, taps = bundle.apply_taps(bundle.params, img[None])
-            return taps["block_out"][:, 0], jnp.argmax(logits[0])
-        return jax.vmap(one)(steps)
+        return _taps_chunk(bundle.apply_taps, bundle.params,
+                           jnp.asarray(start), jnp.asarray(finish),
+                           mask_hw, steps)
 
     total = n_steps + 1
     pad = (-total) % chunk

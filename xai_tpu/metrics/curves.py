@@ -259,6 +259,57 @@ def mas_scores(normalized: np.ndarray, density: np.ndarray,
     return corrected
 
 
+def assemble_battery_scores(ins_tp, ins_t1, del_tp, del_t1, lerf_tp,
+                            saliency, desc, n_steps: int) -> dict:
+    """The ONE 10-score assembly over the three reveal curves — shared by
+    run_battery (sequential driver) and parallel.sharded_battery (batched
+    --image_batch driver) so a metric-semantics change can never diverge
+    the two paths (the AIC endpoint-anchor fix had to land twice before).
+
+    Endpoint conventions (evaluatePerturbation.py:448-495): the insertion
+    curve ENDS at the clean image and starts at the substrate; the deletion
+    curve STARTS at the clean image.  AIC anchors come off the top-1
+    indicator's own endpoints (exactly 1.0 for the driver's argmax target;
+    0.0 for an explicit non-argmax target — hard-coding 1.0 distorted that
+    case)."""
+    ins_tp = np.asarray(ins_tp)
+    ins_t1 = np.asarray(ins_t1)
+    del_tp = np.asarray(del_tp)
+    del_t1 = np.asarray(del_t1)
+    lerf_tp = np.asarray(lerf_tp)
+
+    # --- MAS ins/del (blur-ins, zeros-del; MASTestFunctions) ---
+    rise_ins = monotone_normalize(ins_tp, float(ins_tp[-1]),
+                                  float(ins_tp[0]), "ins")
+    rise_del = monotone_normalize(del_tp, float(del_tp[0]),
+                                  float(del_tp[-1]), "del")
+    dens_ins = density_response(saliency, desc, n_steps, "ins")
+    dens_del = density_response(saliency, desc, n_steps, "del")
+
+    # --- AIC ins/del (top-1-preserved binary response; AICTestFunctions) ---
+    aic_ins = monotone_normalize(ins_t1, float(ins_t1[-1]),
+                                 float(ins_t1[0]), "ins")
+    aic_del = monotone_normalize(del_t1, float(del_t1[0]),
+                                 float(del_t1[-1]), "del")
+
+    return {
+        "MAS_ins": float(auc_np(mas_scores(rise_ins, dens_ins, "ins"))),
+        "MAS_del": float(auc_np(mas_scores(rise_del, dens_del, "del"))),
+        "RISE_ins": float(auc_np(rise_ins)),
+        "RISE_del": float(auc_np(rise_del)),
+        "AIC_ins": float(auc_np(aic_ins)),
+        "AIC_del": float(auc_np(aic_del)),
+        # --- MoRF/LeRF raw responses (PosNegPertFunctions returns raw) ---
+        "LERF_res": float(auc_np(lerf_tp)),
+        "MORF_res": float(auc_np(del_tp)),
+        # --- Monotonicity (raw response vs ideal ramp; MonotonicityTest) ---
+        "MONO_pos": float(spearman_np(np.linspace(0, 1, n_steps + 1),
+                                      ins_tp)),
+        "MONO_neg": float(spearman_np(np.linspace(1, 0, n_steps + 1),
+                                      del_tp)),
+    }
+
+
 # ---------------------------------------------------------------------------
 # the full battery — evaluatePerturbation.run_perturbation equivalent
 # ---------------------------------------------------------------------------
@@ -297,48 +348,6 @@ def run_battery(apply_fn, params, input_img, saliency, blur_fn,
     ins = _outs(raw_ins, True)
     dele = _outs(raw_del, False)
     lerf = _outs(raw_lerf, False)
-
-    # --- MAS ins/del (blur-ins, zeros-del; MASTestFunctions) ---
-    rise_ins = monotone_normalize(ins.target_prob, ins.original_pred,
-                                  ins.baseline_pred, "ins")
-    rise_del = monotone_normalize(dele.target_prob, dele.original_pred,
-                                  dele.baseline_pred, "del")
-    dens_ins = density_response(saliency, desc, n_steps, "ins")
-    dens_del = density_response(saliency, desc, n_steps, "del")
-    mas_ins = mas_scores(rise_ins, dens_ins, "ins")
-    mas_del = mas_scores(rise_del, dens_del, "del")
-
-    # --- AIC ins/del (top-1-preserved binary response; AICTestFunctions) ---
-    # the clean image's top-1 indicator is read off the curve endpoints
-    # (insertion ends at the original; deletion starts there): for the
-    # driver's argmax target it is exactly 1.0, and for an explicit
-    # non-argmax target it is 0.0 — hard-coding 1.0 distorted that case
-    aic_ins = monotone_normalize(ins.top1_is_target,
-                                 float(ins.top1_is_target[-1]),
-                                 ins.baseline_top1, "ins")
-    aic_del = monotone_normalize(dele.top1_is_target,
-                                 float(dele.top1_is_target[0]),
-                                 dele.baseline_top1, "del")
-
-    # --- MoRF / LeRF raw responses (PosNegPertFunctions returns raw) ---
-    morf_res = dele.target_prob
-    lerf_res = lerf.target_prob
-
-    # --- Monotonicity (raw response vs ideal ramp; MonotonicityTest) ---
-    mono_pos = spearman_np(np.linspace(0, 1, n_steps + 1),
-                           ins.target_prob)
-    mono_neg = spearman_np(np.linspace(1, 0, n_steps + 1),
-                           dele.target_prob)
-
-    return {
-        "MAS_ins": auc_np(mas_ins),
-        "MAS_del": auc_np(mas_del),
-        "RISE_ins": auc_np(rise_ins),
-        "RISE_del": auc_np(rise_del),
-        "AIC_ins": auc_np(aic_ins),
-        "AIC_del": auc_np(aic_del),
-        "LERF_res": auc_np(lerf_res),
-        "MORF_res": auc_np(morf_res),
-        "MONO_pos": mono_pos,
-        "MONO_neg": mono_neg,
-    }
+    return assemble_battery_scores(ins.target_prob, ins.top1_is_target,
+                                   dele.target_prob, dele.top1_is_target,
+                                   lerf.target_prob, saliency, desc, n_steps)

@@ -22,7 +22,13 @@ def normalize_image(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, np.float32).copy()
     x[x == np.inf] = 0
     x[x == -np.inf] = 0
-    return (x - x.min()) / (x.max() - x.min())
+    rng = x.max() - x.min()
+    if rng == 0:
+        # constant map (LIME with no positive segments produces one): the
+        # reference's 0/0 here NaN-poisons the whole run's accumulated
+        # SSIM/HOG totals — degrade to an all-zero map instead
+        return np.zeros_like(x)
+    return (x - x.min()) / rng
 
 
 def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 2.0,

@@ -61,8 +61,11 @@ def make_sharded_battery(apply_fn, mesh, n_steps: int, chunk: int = 45,
     expensive jit in the program (~125 retraces on a 1000-image run)."""
     ck = (id(apply_fn), mesh, n_steps, chunk, id(param_spec))
     hit = _BATTERY_CACHE.get(ck)
-    if hit is not None and hit[0] is apply_fn:
-        return hit[1]
+    # identity-check BOTH id-keyed objects: a garbage-collected spec's
+    # recycled CPython id must not serve a battery compiled with a
+    # different param sharding (the _CAST_CACHE lesson)
+    if hit is not None and hit[0] is apply_fn and hit[1] is param_spec:
+        return hit[2]
     p_sharding = (jax.tree.map(lambda s: NamedSharding(mesh, s), param_spec)
                   if param_spec is not None else NamedSharding(mesh, P()))
     data = NamedSharding(mesh, P("data"))
@@ -76,7 +79,7 @@ def make_sharded_battery(apply_fn, mesh, n_steps: int, chunk: int = 45,
         return batched_curves(apply_fn, params, starts, finishes, flips,
                               targets, n_steps, chunk)
 
-    _BATTERY_CACHE[ck] = (apply_fn, run)
+    _BATTERY_CACHE[ck] = (apply_fn, param_spec, run)
     return run
 
 
@@ -91,10 +94,7 @@ def sharded_battery_scores(bundle, mesh, images, saliencies, blur_fn,
     mesh stays busy instead of degrading to one device.  ``targets`` are the
     per-image explanation targets; default argmax (the reference's choice,
     evaluatePerturbation.py:561)."""
-    from ..metrics.curves import (density_response, mas_scores,
-                                  monotone_normalize)
-    from ..ops.stats import auc_np as auc
-    from ..ops.stats import spearman_np as spearman
+    from ..metrics.curves import assemble_battery_scores
 
     B, H = images.shape[0], images.shape[1]
     n_steps = H
@@ -130,33 +130,12 @@ def sharded_battery_scores(bundle, mesh, images, saliencies, blur_fn,
     dele = run(bundle.params, imgs, zeros, jnp.asarray(flips_desc), tgt)
     lerf = run(bundle.params, imgs, zeros, jnp.asarray(flips_asc), tgt)
 
+    # one download per curve (item-by-item [i] reads were B x 6 blocking
+    # device round-trips), then the SAME score assembly run_battery uses
+    ins, dele, lerf = (jax.device_get(c) for c in (ins, dele, lerf))
     out = []
     for i in range(B):       # padded tail rows are dropped here
-        scores = {}
-        orig = float(ins[0][i][-1])
-        rise_ins = monotone_normalize(np.asarray(ins[0][i]), orig,
-                                      float(ins[0][i][0]), "ins")
-        rise_del = monotone_normalize(np.asarray(dele[0][i]), orig,
-                                      float(dele[0][i][-1]), "del")
-        d_ins = density_response(saliencies[i], flips_desc[i], n_steps,
-                                 "ins")
-        d_del = density_response(saliencies[i], flips_desc[i], n_steps,
-                                 "del")
-        scores["MAS_ins"] = float(auc(mas_scores(rise_ins, d_ins, "ins")))
-        scores["MAS_del"] = float(auc(mas_scores(rise_del, d_del, "del")))
-        scores["RISE_ins"] = float(auc(rise_ins))
-        scores["RISE_del"] = float(auc(rise_del))
-        scores["AIC_ins"] = float(auc(monotone_normalize(
-            np.asarray(ins[1][i]), float(ins[1][i][-1]),
-            float(ins[1][i][0]), "ins")))
-        scores["AIC_del"] = float(auc(monotone_normalize(
-            np.asarray(dele[1][i]), float(dele[1][i][0]),
-            float(dele[1][i][-1]), "del")))
-        scores["LERF_res"] = float(auc(np.asarray(lerf[0][i])))
-        scores["MORF_res"] = float(auc(np.asarray(dele[0][i])))
-        scores["MONO_pos"] = float(spearman(
-            np.linspace(0, 1, n_steps + 1), np.asarray(ins[0][i])))
-        scores["MONO_neg"] = float(spearman(
-            np.linspace(1, 0, n_steps + 1), np.asarray(dele[0][i])))
-        out.append(scores)
+        out.append(assemble_battery_scores(
+            ins[0][i], ins[1][i], dele[0][i], dele[1][i], lerf[0][i],
+            saliencies[i], flips_desc[i], n_steps))
     return out

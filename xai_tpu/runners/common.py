@@ -50,12 +50,14 @@ def build_bundle(model_name: str, params_path: Optional[str] = None,
         p = init_on_cpu(lambda: model.init(
             key, jnp.zeros((1, 224, 224, 3)))["params"])
         b = resnet.make_bundle("resnet50", params=p, batch_size=batch)
+        # jit-wrap like jit_bundle does — bare closures here ran the tiny
+        # models op-by-op eagerly at every bare bundle.apply call site
         b = dataclasses.replace(
-            b, apply=lambda pp, x: model.apply({"params": pp}, x),
-            apply_taps=lambda pp, x: model.apply({"params": pp}, x,
-                                                 taps=True),
-            apply_probed=lambda pp, x, pr: model.apply(
-                {"params": pp}, x, taps=True, probes=pr),
+            b, apply=jax.jit(lambda pp, x: model.apply({"params": pp}, x)),
+            apply_taps=jax.jit(lambda pp, x: model.apply({"params": pp}, x,
+                                                         taps=True)),
+            apply_probed=jax.jit(lambda pp, x, pr: model.apply(
+                {"params": pp}, x, taps=True, probes=pr)),
             extras={"model": model})
     elif model_name == "TINY_R":
         import dataclasses
@@ -70,11 +72,11 @@ def build_bundle(model_name: str, params_path: Optional[str] = None,
             b,
             meta=ModelMeta(name="TINY_R", family="cnn", img_hw=64,
                            batch_size=batch),
-            apply=lambda pp, x: model.apply({"params": pp}, x),
-            apply_taps=lambda pp, x: model.apply({"params": pp}, x,
-                                                 taps=True),
-            apply_probed=lambda pp, x, pr: model.apply(
-                {"params": pp}, x, taps=True, probes=pr),
+            apply=jax.jit(lambda pp, x: model.apply({"params": pp}, x)),
+            apply_taps=jax.jit(lambda pp, x: model.apply({"params": pp}, x,
+                                                         taps=True)),
+            apply_probed=jax.jit(lambda pp, x, pr: model.apply(
+                {"params": pp}, x, taps=True, probes=pr)),
             extras={"model": model})
     elif model_name == "TINY_VIT":
         b = vit.make_bundle("vit_tiny_patch16_224", key=key,

@@ -105,10 +105,18 @@ def evaluate_sanity(args) -> dict:
     rand_params = randomize_family(bundle.params, family,
                                    jax.random.PRNGKey(args.seed + 1))
     rand_bundle = dataclasses.replace(bundle, params=rand_params)
+    if family == "clip":
+        # the reference recomputes the 1000-prompt text table with the
+        # RANDOMIZED text tower (evaluateSanity.py:610, used at :463) —
+        # without this the randomized bundle's similarity closure and
+        # extras would silently keep the trained table
+        from ..models import clip as clipmod
+        rand_bundle = clipmod.attach_text_table(rand_bundle)
 
     correct = load_correct_mask(args.class_maps_dir, args.model) \
         if args.class_maps_dir else None
-    stream = ImageNetValStream(args.dataset_path, synthetic=args.synthetic)
+    stream = ImageNetValStream(args.dataset_path, img_hw=bundle.meta.img_hw,
+                               synthetic=args.synthetic)
     attr_dtype = {"bf16": jnp.bfloat16, "f32": None}[
         getattr(args, "attr_dtype", "f32")]
     image_batch = getattr(args, "image_batch", 1)
@@ -137,9 +145,11 @@ def evaluate_sanity(args) -> dict:
                               totals)
             continue
 
-        target = int(jnp.argmax(bundle.apply(bundle.params, x[None])[0]))
+        # cached jitted dispatch — bundle.apply is a bare (for CLIP even
+        # un-jitted) closure and would run eagerly here
+        target = int(jnp.argmax(bundle.logits_fn(bundle.params, x[None])[0]))
         target_rand = int(jnp.argmax(
-            rand_bundle.apply(rand_bundle.params, x[None])[0]))
+            rand_bundle.logits_fn(rand_bundle.params, x[None])[0]))
 
         ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
                           target=target, key=key,

@@ -35,7 +35,11 @@ def find_correctly_classified(args):
     n_total = args.total or len(gnd)
     mask = np.zeros(n_total, np.int64)
 
-    stream = ImageNetValStream(args.dataset_path, synthetic=args.synthetic)
+    # the bundle's own input resolution (IV3 is 299, the tiny CI models 64
+    # — classifying 224px crops would write a silently-wrong mask)
+    stream = ImageNetValStream(args.dataset_path,
+                               img_hw=bundle.meta.img_hw,
+                               synthetic=args.synthetic)
     buf_x, buf_idx = [], []
 
     @jax.jit

@@ -50,7 +50,9 @@ def _get_attr(args, bundle, family, ctx):
 def run(args) -> dict:
     family, _ = MODEL_TABLE[args.model]
     bundle = build_bundle(args.model, args.params_path)
-    ds = ImagenetSegmentation(args.dataset_path, synthetic=args.synthetic)
+    ds = ImagenetSegmentation(args.dataset_path,
+                              img_hw=bundle.meta.img_hw,
+                              synthetic=args.synthetic)
 
     total_inter = np.zeros(2, np.int64)
     total_union = np.zeros(2, np.int64)

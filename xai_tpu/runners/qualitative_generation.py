@@ -37,7 +37,8 @@ def generate(args):
     if args.methods:
         panel = args.methods.split(",")
 
-    stream = ImageNetValStream(args.dataset_path, synthetic=args.synthetic)
+    stream = ImageNetValStream(args.dataset_path, img_hw=bundle.meta.img_hw,
+                               synthetic=args.synthetic)
     os.makedirs(args.output_dir, exist_ok=True)
 
     done = 0
@@ -45,7 +46,7 @@ def generate(args):
         if done >= args.image_count:
             break
         x = normalize_input(item.trans_img, family)
-        target = int(jnp.argmax(bundle.apply(bundle.params, x[None])[0]))
+        target = int(jnp.argmax(bundle.logits_fn(bundle.params, x[None])[0]))
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), item.index)
 
         n = len(panel) + 1

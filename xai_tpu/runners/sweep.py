@@ -89,6 +89,13 @@ def run_sweep(args):
                 # CNN models not in the table reuse the R101 method list
                 attrs = table.get(
                     model, table["R101"] if model.startswith("R") else [])
+                if not attrs:
+                    # a typo'd --models entry would otherwise produce zero
+                    # jobs and a clean exit that looks like a finished sweep
+                    raise ValueError(
+                        f"model {model!r} has no method table for driver "
+                        f"{driver!r} (known: {sorted(table)}); pass "
+                        "--methods to sweep it anyway")
             for attr in attrs:
                 jobs.append((driver, model, attr))
 
