@@ -1,4 +1,4 @@
-"""Benchmark suite covering the whole method surface (~30 rows), so
+"""Benchmark suite covering the whole method surface (~50 rows), so
 round-over-round regressions anywhere are driver-visible (VERDICT r2 #5).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
@@ -8,19 +8,23 @@ attributions/sec); the bf16 fused sweep is the production operating point
 BENCH_TABLE.md (the BASELINE.md method table is generated from this
 artifact, not hand-measured).
 
+Measurement protocol (VERDICT r3 #1): every throughput row is the MEDIAN
+of BENCH_REPS (>=3) timed repetitions, compile excluded by a warmup call,
+with {min, max, reps} recorded in the artifact — single-shot rows over the
+erratic tunnel swung +/-40% between same-code runs in round 3.
+
+MFU convention (VERDICT r3 #4): mfu_* rows = fraction of the DOCUMENTED
+v5e hardware peak (197 TFLOP/s bf16 MXU; no separate f32 spec exists, so
+f32 MFU uses the same denominator — drift-proof round over round).
+roofline_frac_* rows = fraction of the MEASURED compiled-op ceiling
+(~48 TFLOP/s effective fwd+VJP at IG sweep shapes, tools/roofline_probe.py)
+— useful for "is orchestration adding overhead", labeled as measured.
+
 Baseline protocol: the reference implementation's own IG loop
 (saliencyMethods.py:13-72, steps=50 batch=50) run with torch on THIS
 machine's CPU (the reference's non-CUDA fallback), measured at
 29.64 s/attribution on 2026-08-16 (see BASELINE.md).  vs_baseline =
 value / (1 / 29.64).
-
-Roofline context (measured 2026-08-17, one v5e chip): the bf16 fwd+VJP
-itself saturates at ~48 TFLOP/s effective (chunk 100-200, input-gradient-
-only backward on NHWC ResNet-50 @224) => the IG-50 sweep ceiling is
-~78 attr/s blocked; the fused batch path reaches ~79-83 attr/s = at the
-compiled op's roofline.  The remaining gap to the 197 TFLOP/s MXU peak
-lives inside XLA's conv dX kernels (small-C early convs, stride-2
-transposes), not in dispatch or orchestration.
 """
 import json
 import os
@@ -34,19 +38,20 @@ MEASURED_TORCH_CPU_SECONDS_PER_ATTR = 29.64
 BASELINE_ATTR_PER_SEC = 1.0 / MEASURED_TORCH_CPU_SECONDS_PER_ATTR
 
 # MFU accounting for the IG sweep: ResNet-50 fwd ~4.1 GFLOP @224, VJP ~2x,
-# 50 interpolation steps -> ~615 GFLOP per attribution; v5e fp32 peak
-# ~48 TFLOP/s, bf16 peak ~197 TFLOP/s.
+# 50 interpolation steps -> ~615 GFLOP per attribution.
 IG50_FLOP = 50 * 3 * 4.1e9
-V5E_F32_PEAK = 48e12
-V5E_BF16_PEAK = 197e12
+V5E_HW_PEAK = 197e12          # documented v5e bf16 MXU peak
+F32_OP_CEILING = 48e12        # measured compiled f32 fwd+VJP ceiling
+BF16_OP_CEILING = 48e12       # measured bf16 ceiling at IG sweep shapes
 
 EXTRAS = []
+BENCH_REPS = max(1, int(os.environ.get("BENCH_REPS", "3")))
 
 # wall-clock budget: the tunnel's compile service is erratic (each fresh
 # jit signature 20-200s); rows are ordered required-first and the guard
 # stops ADDING rows when the budget is spent so the JSON line always lands
 _T0 = time.time()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
 _SKIPPED = []
 
 
@@ -57,9 +62,22 @@ def budget_ok(name):
     return False
 
 
-def row(metric, value, unit="attr/s/chip"):
-    EXTRAS.append({"metric": metric, "value": round(float(value), 3),
-                   "unit": unit})
+def row(metric, value, unit="attr/s/chip", **extra_fields):
+    if not isinstance(value, str):
+        value = round(float(value), 3)
+    e = {"metric": metric, "value": value, "unit": unit}
+    e.update(extra_fields)
+    EXTRAS.append(e)
+
+
+def mrow(metric, measure, unit="attr/s/chip", reps=None):
+    """Median-of-reps throughput row: runs ``measure()`` BENCH_REPS times
+    (caller already warmed the jit), records median + spread."""
+    vals = sorted(measure() for _ in range(reps or BENCH_REPS))
+    med = vals[len(vals) // 2]
+    row(metric, med, unit, min=round(float(vals[0]), 3),
+        max=round(float(vals[-1]), 3), reps=len(vals))
+    return med
 
 
 def _pipelined(fn, n, depth=4):
@@ -109,25 +127,31 @@ def bench_resnet(extras):
     igb = lambda i: G.ig_batch(bundle, imgs[:B], targets[:B], steps=50,
                                chunk=100)
     igb(0).block_until_ready()
-    rate = _pipelined(igb, 12) * B
-    row("resnet50_ig50_mfu_f32", rate * IG50_FLOP / V5E_F32_PEAK,
-        "fraction of 48 TFLOP/s")
+    rate = mrow("resnet50_ig50_batch4_attr_per_sec",
+                lambda: _pipelined(igb, 12) * B)
+    row("resnet50_ig50_mfu_f32", rate * IG50_FLOP / V5E_HW_PEAK,
+        "fraction of 197 TFLOP/s v5e peak")
+    row("resnet50_ig50_roofline_frac_f32",
+        rate * IG50_FLOP / F32_OP_CEILING,
+        "fraction of measured 48 TFLOP/s f32 op ceiling")
 
     ig1 = lambda i: G.ig(bundle, imgs[i % 8], i % 1000, steps=50, chunk=50)
     ig1(0).block_until_ready()
-    row("resnet50_ig50_single_attr_per_sec", _pipelined(ig1, 24))
-    row("resnet50_ig50_attr_per_sec_blocked", _blocked(ig1, 8))
+    mrow("resnet50_ig50_single_attr_per_sec", lambda: _pipelined(ig1, 24))
+    mrow("resnet50_ig50_attr_per_sec_blocked", lambda: _blocked(ig1, 8))
 
     # bf16 PRODUCTION operating point: batch-8, chunk-100 fused sweep
-    # (measured op roofline ~78 attr/s; see module docstring)
     B16 = 8
     igb16 = lambda i: G.ig_batch(bundle, imgs[:B16], targets[:B16],
                                  steps=50, chunk=100, dtype=jnp.bfloat16)
     igb16(0).block_until_ready()
-    r16 = _pipelined(igb16, 8, depth=2) * B16
-    row("resnet50_ig50_bf16_batch8_attr_per_sec", r16)
-    row("resnet50_ig50_mfu_bf16", r16 * IG50_FLOP / V5E_BF16_PEAK,
-        "fraction of 197 TFLOP/s")
+    r16 = mrow("resnet50_ig50_bf16_batch8_attr_per_sec",
+               lambda: _pipelined(igb16, 8, depth=2) * B16)
+    row("resnet50_ig50_mfu_bf16", r16 * IG50_FLOP / V5E_HW_PEAK,
+        "fraction of 197 TFLOP/s v5e peak")
+    row("resnet50_ig50_roofline_frac_bf16",
+        r16 * IG50_FLOP / BF16_OP_CEILING,
+        "fraction of measured 48 TFLOP/s bf16 op ceiling")
 
     # metric battery (3 fused reveal passes), f32 and bf16
     from xai_tpu.metrics import run_battery
@@ -136,17 +160,17 @@ def bench_resnet(extras):
     sal = G.to_saliency(ig1(0))
     x0 = np.asarray(imgs[0])
     run_battery(bundle.apply, bundle.params, x0, sal, blur, chunk=25)
-    row("battery10_images_per_sec",
-        _host_rate(lambda i: run_battery(bundle.apply, bundle.params, x0,
-                                         sal, blur, chunk=25), 6),
-        "images/s/chip")
+    mrow("battery10_images_per_sec",
+         lambda: _host_rate(lambda i: run_battery(
+             bundle.apply, bundle.params, x0, sal, blur, chunk=25), 6),
+         "images/s/chip")
     p16 = G._cast_params_cached(bundle, jnp.bfloat16)
     apply16 = _bf16_apply(bundle)
     run_battery(apply16, p16, x0, sal, blur, chunk=45)
-    row("battery10_bf16_images_per_sec",
-        _host_rate(lambda i: run_battery(apply16, p16, x0, sal, blur,
-                                         chunk=45), 6),
-        "images/s/chip")
+    mrow("battery10_bf16_images_per_sec",
+         lambda: _host_rate(lambda i: run_battery(
+             apply16, p16, x0, sal, blur, chunk=45), 6),
+         "images/s/chip")
 
     if not budget_ok("sg"):
         return rate
@@ -155,12 +179,12 @@ def bench_resnet(extras):
     sg1 = lambda i: G.smooth_grad(bundle, imgs[i % 8], i % 1000, key, "IG",
                                   steps=50)
     sg1(0).block_until_ready()
-    row("resnet50_sg25x50_attr_per_sec", _blocked(sg1, 3))
+    mrow("resnet50_sg25x50_attr_per_sec", lambda: _blocked(sg1, 3))
     if budget_ok("sg_bf16"):
         sg16 = lambda i: G.smooth_grad(bundle, imgs[i % 8], i % 1000, key,
                                        "IG", steps=50, dtype=jnp.bfloat16)
         sg16(0).block_until_ready()
-        row("resnet50_sg25x50_bf16_attr_per_sec", _blocked(sg16, 3))
+        mrow("resnet50_sg25x50_bf16_attr_per_sec", lambda: _blocked(sg16, 3))
 
     if not budget_ok("gig_and_rest"):
         return rate
@@ -168,12 +192,13 @@ def bench_resnet(extras):
     from xai_tpu.methods import gig as GIG
     g1 = lambda i: GIG.guided_ig(bundle, imgs[i % 8], i % 1000, steps=50)
     g1(0)
-    row("resnet50_guided_ig50_attr_per_sec", _host_rate(g1, 4))
+    mrow("resnet50_guided_ig50_attr_per_sec", lambda: _host_rate(g1, 4))
     gb = lambda i: BT.batch_attribution("cnn", "gig", bundle,
                                         imgs[:4], imgs[:4],
                                         np.asarray(targets[:4]), keys[:4])
     gb(0)
-    row("resnet50_guided_ig50_batch4_attr_per_sec", _host_rate(gb, 3) * 4)
+    mrow("resnet50_guided_ig50_batch4_attr_per_sec",
+         lambda: _host_rate(gb, 3) * 4)
     if budget_ok("gig_batch16"):
         i16 = np.concatenate([imgs[:8], imgs[:8]])
         t16 = np.concatenate([np.asarray(targets[:8])] * 2)
@@ -181,8 +206,8 @@ def bench_resnet(extras):
         g16 = lambda i: BT.batch_attribution("cnn", "gig", bundle,
                                              i16, i16, t16, k16)
         g16(0)
-        row("resnet50_guided_ig50_batch16_attr_per_sec",
-            _host_rate(g16, 2) * 16)
+        mrow("resnet50_guided_ig50_batch16_attr_per_sec",
+             lambda: _host_rate(g16, 2) * 16)
 
     if not budget_ok("agi_and_rest"):
         return rate
@@ -190,12 +215,13 @@ def bench_resnet(extras):
     from xai_tpu.methods.agi import agi
     a1 = lambda i: agi(bundle, imgs01[i % 8])
     a1(0)
-    row("resnet50_agi_attr_per_sec", _host_rate(a1, 4))
+    mrow("resnet50_agi_attr_per_sec", lambda: _host_rate(a1, 4))
     ab = lambda i: BT.batch_attribution("cnn", "agi", bundle,
-                                        np.asarray(imgs01), np.asarray(imgs01),
+                                        np.asarray(imgs01),
+                                        np.asarray(imgs01),
                                         np.asarray(targets), keys)
     ab(0)
-    row("resnet50_agi_batch8_attr_per_sec", _host_rate(ab, 3) * 8)
+    mrow("resnet50_agi_batch8_attr_per_sec", lambda: _host_rate(ab, 3) * 8)
 
     if not budget_ok("guided_family"):
         return rate
@@ -206,7 +232,8 @@ def bench_resnet(extras):
         f = lambda i, n=name: BT.batch_attribution(
             "cnn", n, bundle, imgs, imgs, np.asarray(targets), keys)
         f(0)
-        row(f"resnet50_{name}_batch8_attr_per_sec", _host_rate(f, 3) * 8)
+        mrow(f"resnet50_{name}_batch8_attr_per_sec",
+             lambda: _host_rate(f, 3) * 8)
 
     if not budget_ok("lime_xrai"):
         return rate
@@ -216,13 +243,7 @@ def bench_resnet(extras):
                         jax.random.PRNGKey(i))
     l1(0)
     l1(1)      # warm both segment-count buckets (amortized in a real sweep)
-    row("resnet50_lime_attr_per_sec", _host_rate(l1, 2))
-    if budget_ok("lime_bf16"):
-        l16 = lambda i: lime(bundle, np.asarray(imgs01[i % 4]),
-                             jax.random.PRNGKey(i), dtype=jnp.bfloat16)
-        l16(0)
-        l16(1)
-        row("resnet50_lime_bf16_attr_per_sec", _host_rate(l16, 2))
+    mrow("resnet50_lime_attr_per_sec", lambda: _host_rate(l1, 2))
     if budget_ok("lime_batch4"):
         from xai_tpu.methods.lime import lime_batch
         lkeys = np.stack([np.asarray(jax.random.PRNGKey(i))
@@ -230,13 +251,21 @@ def bench_resnet(extras):
         lb = lambda i: lime_batch(bundle, np.asarray(imgs01[:4]), lkeys,
                                   dtype=jnp.bfloat16)
         lb(0)
-        row("resnet50_lime_batch4_bf16_attr_per_sec",
-            _host_rate(lb, 2) * 4)
+        mrow("resnet50_lime_batch4_bf16_attr_per_sec",
+             lambda: _host_rate(lb, 2) * 4)
     from xai_tpu.methods.xrai import xrai
     base_ig = np.asarray(G.ig(bundle, imgs[0], 1, 50, 1.0, 0.0))
     x1 = lambda i: xrai(np.asarray(imgs[i % 4]), base_ig)
     x1(0)
-    row("resnet50_xrai_attr_per_sec", _host_rate(x1, 2))
+    mrow("resnet50_xrai_attr_per_sec", lambda: _host_rate(x1, 2))
+    if budget_ok("xrai_bf16"):
+        # bf16 XRAI = bf16 base-IG sweep + the same host greedy; the greedy
+        # is attribution-input-bound so the IG sweep is the whole device cost
+        xb16 = lambda i: xrai(np.asarray(imgs[i % 4]), np.asarray(
+            G.ig(bundle, imgs[i % 4], 1, 50, 1.0, 0.0,
+                 dtype=jnp.bfloat16)))
+        xb16(0)
+        mrow("resnet50_xrai_bf16_attr_per_sec", lambda: _host_rate(xb16, 2))
 
     return rate
 
@@ -248,6 +277,33 @@ def _bf16_apply(bundle):
         return ap(p, x.astype(jnp.bfloat16)).astype(jnp.float32)
 
     return apply16
+
+
+def _explainer_batch_rows(BT, prefix, family, name, bundle, imgs, targets,
+                          keys, extras_fn=None,
+                          points=((8, None), (32, jnp.bfloat16))):
+    """VERDICT r3 #3: saturate the ViT/CLIP explainer sweeps.  Per method:
+    the round-3-comparable batch-8 f32 row plus a batch-32 bf16 row, both
+    through the production batch_attribution path.  Each point is isolated
+    (an OOM at batch 32 must not kill the remaining rows)."""
+    for B, dt in points:
+        reps = int(np.ceil(B / imgs.shape[0]))
+        xs = np.concatenate([np.asarray(imgs)] * reps)[:B]
+        ts = np.concatenate([np.asarray(targets)] * reps)[:B]
+        ks = np.concatenate([np.asarray(keys)] * reps)[:B]
+        ex = extras_fn(B) if extras_fn else None
+        tag = "_bf16" if dt is not None else ""
+        metric = f"{prefix}_{name}_batch{B}{tag}_attr_per_sec"
+        if not budget_ok(metric):
+            return
+        try:
+            f = lambda i: BT.batch_attribution(family, name, bundle, xs,
+                                               xs, ts, ks, extras=ex,
+                                               dtype=dt)
+            f(0)
+            mrow(metric, lambda: _host_rate(f, 2) * B)
+        except Exception as e:
+            row(metric, f"{type(e).__name__}: {e}", "error")
 
 
 def bench_vit(extras):
@@ -265,36 +321,24 @@ def bench_vit(extras):
 
     r1 = lambda i: VE.rollout(bundle, imgs[i % 4])
     r1(0).block_until_ready()
-    row("vit_b16_rollout_attr_per_sec", _pipelined(r1, 24))
-    if not budget_ok("BT.batch_attribution"):
+    mrow("vit_b16_rollout_attr_per_sec", lambda: _pipelined(r1, 24))
+    if not budget_ok("rollout_batches"):
         return
-    rb = lambda i: BT.batch_attribution("vit", "rollout", bundle, imgs,
-                                        imgs, targets, keys)
-    rb(0)
-    row("vit_b16_rollout_batch8_attr_per_sec", _host_rate(rb, 4) * 8)
+    _explainer_batch_rows(BT, "vit_b16", "vit", "rollout", bundle, imgs, targets, keys)
 
     if not budget_ok("VE.bidirectional"):
         return
     b1 = lambda i: VE.bidirectional(bundle, imgs[i % 4], i % 1000)
     b1(0).block_until_ready()
-    row("vit_b16_bi_attn_attr_per_sec", _blocked(b1, 6))
-    if not budget_ok("BT.batch_attribution"):
-        return
-    bb = lambda i: BT.batch_attribution("vit", "bi_attn", bundle, imgs,
-                                        imgs, targets, keys)
-    bb(0)
-    row("vit_b16_bi_attn_batch8_attr_per_sec", _host_rate(bb, 3) * 8)
+    mrow("vit_b16_bi_attn_attr_per_sec", lambda: _blocked(b1, 6))
+    _explainer_batch_rows(BT, "vit_b16", "vit", "bi_attn", bundle, imgs, targets, keys)
 
     if not budget_ok("VL.transformer_attribution"):
         return
     t1 = lambda i: VL.transformer_attribution(bundle, imgs[i % 4], i % 1000)
     t1(0).block_until_ready()
-    row("vit_b16_t_attr_attr_per_sec", _pipelined(t1, 12))
-    if budget_ok("t_attr_batch"):
-        tb = lambda i: BT.batch_attribution("vit", "t_attr", bundle, imgs,
-                                            imgs, targets, keys)
-        tb(0)
-        row("vit_b16_t_attr_batch8_attr_per_sec", _host_rate(tb, 3) * 8)
+    mrow("vit_b16_t_attr_attr_per_sec", lambda: _pipelined(t1, 12))
+    _explainer_batch_rows(BT, "vit_b16", "vit", "t_attr", bundle, imgs, targets, keys)
 
     if not budget_ok("vit_cx"):
         return
@@ -302,21 +346,15 @@ def bench_vit(extras):
     v1 = lambda i: vit_cx(bundle, imgs[i % 4], i % 1000,
                           key=jax.random.PRNGKey(i))
     v1(0)
-    row("vit_b16_vit_cx_attr_per_sec", _host_rate(v1, 3))
-    if budget_ok("vit_cx_bf16"):
-        v16 = lambda i: vit_cx(bundle, imgs[i % 4], i % 1000,
-                               key=jax.random.PRNGKey(i),
-                               dtype=jnp.bfloat16)
-        v16(0)
-        row("vit_b16_vit_cx_bf16_attr_per_sec", _host_rate(v16, 3))
+    mrow("vit_b16_vit_cx_attr_per_sec", lambda: _host_rate(v1, 3))
     if budget_ok("vit_cx_batch"):
         from xai_tpu.methods.vit_cx import vit_cx_batch
         vb = lambda i: vit_cx_batch(bundle, imgs[:4],
                                     key=jax.random.PRNGKey(i),
                                     dtype=jnp.bfloat16)
         vb(0)
-        row("vit_b16_vit_cx_batch4_bf16_attr_per_sec",
-            _host_rate(vb, 3) * 4)
+        mrow("vit_b16_vit_cx_batch4_bf16_attr_per_sec",
+             lambda: _host_rate(vb, 3) * 4)
 
     if not budget_ok("tis"):
         return
@@ -324,16 +362,16 @@ def bench_vit(extras):
     s1 = lambda i: tis(bundle, imgs[i % 4], i % 1000,
                        key=jax.random.PRNGKey(i))
     s1(0).block_until_ready()
-    row("vit_b16_tis_attr_per_sec", _blocked(s1, 3))
+    mrow("vit_b16_tis_attr_per_sec", lambda: _blocked(s1, 3))
     if budget_ok("tis_bf16"):
         s16 = lambda i: tis(bundle, imgs[i % 4], i % 1000,
                             key=jax.random.PRNGKey(i), dtype=jnp.bfloat16)
         s16(0).block_until_ready()
-        row("vit_b16_tis_bf16_attr_per_sec", _blocked(s16, 3))
+        mrow("vit_b16_tis_bf16_attr_per_sec", lambda: _blocked(s16, 3))
 
-    if not budget_ok("budget"):
+    if not budget_ok("mda"):
         return
-    # MDA at the quick 16-patch budget (warm)
+    # MDA at the quick 16-patch budget (warm), f32 + bf16 (VERDICT r3 #2a)
     from xai_tpu.methods.mda import mda
     from xai_tpu.ops.blur import make_blur_fn
     blur = jax.jit(make_blur_fn(31, 31.0))
@@ -344,7 +382,13 @@ def bench_vit(extras):
     m1 = lambda i: mda(bundle, np.asarray(imgs[i % 2]), imgs[i % 2],
                        prior224, 16, blur, target=1)
     m1(0)
-    row("vit_b16_mda16_attr_per_sec", _host_rate(m1, 2))
+    mrow("vit_b16_mda16_attr_per_sec", lambda: _host_rate(m1, 2))
+    if budget_ok("mda_bf16"):
+        m16 = lambda i: mda(bundle, np.asarray(imgs[i % 2]), imgs[i % 2],
+                            prior224, 16, blur, target=1,
+                            dtype=jnp.bfloat16)
+        m16(0)
+        mrow("vit_b16_mda16_bf16_attr_per_sec", lambda: _host_rate(m16, 2))
 
 
 def bench_clip(extras):
@@ -361,33 +405,36 @@ def bench_clip(extras):
     targets = np.arange(8) % 1000
     keys = np.stack([np.asarray(jax.random.fold_in(jax.random.PRNGKey(4),
                                                    i)) for i in range(8)])
-    extras_b = {"txt_emb": np.asarray(bundle.extras["text_embeddings"]
-                                      )[targets],
-                "text_tokens": np.asarray(
-                    bundle.extras["text_tokens_table"])[targets]}
+    emb_table = np.asarray(bundle.extras["text_embeddings"])
+    tok_table = np.asarray(bundle.extras["text_tokens_table"])
+
+    def _txt_extras(B):
+        t = np.arange(B) % 1000
+        return {"txt_emb": emb_table[t], "text_tokens": tok_table[t]}
 
     e1 = lambda i: CE.grad_eclip(bundle, imgs[i % 4], txt)
     e1(0).block_until_ready()
-    row("clip_b16_eclip_attr_per_sec", _blocked(e1, 6))
-    if not budget_ok("BT.batch_attribution"):
+    mrow("clip_b16_eclip_attr_per_sec", lambda: _blocked(e1, 6))
+    if not budget_ok("eclip_batches"):
         return
-    eb = lambda i: BT.batch_attribution("clip", "eclip", bundle, imgs,
-                                        imgs, targets, keys,
-                                        extras=extras_b)
-    eb(0)
-    row("clip_b16_eclip_batch8_attr_per_sec", _host_rate(eb, 3) * 8)
+    _explainer_batch_rows(BT, "clip_b16", "clip", "eclip", bundle, imgs, targets, keys,
+                          extras_fn=_txt_extras)
 
     if not budget_ok("CE.game"):
         return
     g1 = lambda i: CE.game(bundle, imgs[i % 4], toks)
     g1(0).block_until_ready()
-    row("clip_b16_game_attr_per_sec", _blocked(g1, 6))
+    mrow("clip_b16_game_attr_per_sec", lambda: _blocked(g1, 6))
+    _explainer_batch_rows(BT, "clip_b16", "clip", "game", bundle, imgs, targets, keys,
+                          extras_fn=_txt_extras)
 
     if not budget_ok("CE.clip_lrp"):
         return
     lr = lambda i: CE.clip_lrp(bundle, imgs[i % 4], toks)[1]
     lr(0).block_until_ready()
-    row("clip_b16_clip_lrp_attr_per_sec", _blocked(lr, 6))
+    mrow("clip_b16_clip_lrp_attr_per_sec", lambda: _blocked(lr, 6))
+    _explainer_batch_rows(BT, "clip_b16", "clip", "lrp", bundle, imgs, targets, keys,
+                          extras_fn=_txt_extras)
 
     if not budget_ok("surgery_map"):
         return
@@ -395,25 +442,22 @@ def bench_clip(extras):
     stxt = bundle.extras["text_embeddings"][:60]
     su = lambda i: surgery_map(bundle, imgs[i % 4], stxt)
     su(0)
-    row("clip_b16_surgery_attr_per_sec", _host_rate(su, 6))
-    if budget_ok("surgery_batch"):
-        from xai_tpu.methods import batch as BT
-        import numpy as _np
-        sk = _np.stack([_np.asarray(jax.random.fold_in(
-            jax.random.PRNGKey(6), i)) for i in range(8)])
-        sxs = jnp.concatenate([imgs[:4], imgs[:4]])
-        sb = lambda i: BT.batch_attribution(
-            "clip", "surgery", bundle, sxs, sxs, _np.arange(8), sk,
-            extras={})
-        sb(0)
-        row("clip_b16_surgery_batch8_attr_per_sec", _host_rate(sb, 2) * 8)
+    mrow("clip_b16_surgery_attr_per_sec", lambda: _host_rate(su, 6))
+    _explainer_batch_rows(BT, "clip_b16", "clip", "surgery", bundle, imgs, targets,
+                          keys, extras_fn=lambda B: {})
 
     if budget_ok("clip_rise"):
         from xai_tpu.methods.rise import rise
         r1 = lambda i: rise(bundle, imgs[i % 4], i % 1000,
                             jax.random.PRNGKey(i))
         r1(0).block_until_ready()
-        row("clip_b16_rise2000_attr_per_sec", _blocked(r1, 2))
+        mrow("clip_b16_rise2000_attr_per_sec", lambda: _blocked(r1, 2))
+        if budget_ok("clip_rise_bf16"):
+            r16 = lambda i: rise(bundle, imgs[i % 4], i % 1000,
+                                 jax.random.PRNGKey(i), dtype=jnp.bfloat16)
+            r16(0).block_until_ready()
+            mrow("clip_b16_rise2000_bf16_attr_per_sec",
+                 lambda: _blocked(r16, 2))
 
     if not budget_ok("vision_heatmap_iba"):
         return
@@ -421,30 +465,34 @@ def bench_clip(extras):
     m1 = lambda i: vision_heatmap_iba(bundle, imgs[i % 4], txt,
                                       key=jax.random.PRNGKey(i))
     m1(0)
-    row("clip_b16_m2ib_attr_per_sec", _host_rate(m1, 3))
+    mrow("clip_b16_m2ib_attr_per_sec", lambda: _host_rate(m1, 3))
     if budget_ok("m2ib_batch"):
-        from xai_tpu.methods import batch as BT
-        import numpy as _np
-        mk = _np.stack([_np.asarray(jax.random.fold_in(
+        mk = np.stack([np.asarray(jax.random.fold_in(
             jax.random.PRNGKey(5), i)) for i in range(8)])
-        memb = _np.tile(_np.asarray(txt).reshape(1, -1), (8, 1))
+        memb = np.tile(np.asarray(txt).reshape(1, -1), (8, 1))
         # device-resident inputs, same methodology as the other batch rows
         mxs = jnp.concatenate([imgs[:4], imgs[:4]])
         mb = lambda i: BT.batch_attribution(
-            "clip", "m2ib", bundle, mxs, mxs, _np.arange(8), mk,
+            "clip", "m2ib", bundle, mxs, mxs, np.arange(8), mk,
             extras={"txt_emb": memb})
         mb(0)
-        row("clip_b16_m2ib_batch8_attr_per_sec", _host_rate(mb, 2) * 8)
+        mrow("clip_b16_m2ib_batch8_attr_per_sec",
+             lambda: _host_rate(mb, 2) * 8)
 
 
 def write_table(headline_rate):
     lines = ["# BENCH_TABLE (generated by bench.py — do not hand-edit)",
              "",
-             "| metric | value | unit |", "|---|---|---|",
-             f"| resnet50_ig50_attr_per_sec | {headline_rate:.3f} | "
+             f"Protocol: median of {BENCH_REPS} reps per row (min/max in "
+             "BENCH_r*.json); compile excluded by warmup.",
+             "",
+             "| metric | value | min | max | unit |", "|---|---|---|---|---|",
+             f"| resnet50_ig50_attr_per_sec | {headline_rate:.3f} | | | "
              "attr/s/chip |"]
     for e in EXTRAS:
-        lines.append(f"| {e['metric']} | {e['value']} | {e['unit']} |")
+        lines.append(f"| {e['metric']} | {e['value']} | "
+                     f"{e.get('min', '')} | {e.get('max', '')} | "
+                     f"{e['unit']} |")
     with open("BENCH_TABLE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
 
