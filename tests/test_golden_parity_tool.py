@@ -1,0 +1,78 @@
+"""CI guard for the packaged real-weights golden-parity workflow
+(xai_tpu.tools.golden_parity, VERDICT r3 #5).
+
+Pretrained checkpoints cannot be downloaded in this environment, so the
+tool is exercised end-to-end on random-init twins saved as torch
+checkpoints: the same load -> convert -> build-bundle -> reference-vs-
+rebuild -> report path a weight-bearing machine runs, minus the weights.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+
+def _run(args_list):
+    from xai_tpu.tools.golden_parity import build_parser, run_golden_parity
+    return run_golden_parity(build_parser().parse_args(args_list))
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpts")
+    torch.manual_seed(0)
+    from tests.torch_oracles import TorchResNet
+    tm = TorchResNet((1, 1, 1, 1), num_classes=1000).eval()
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+    torch.save(tm.state_dict(), d / "TINY_R.pth")
+
+    from tests import reference_loader as rl
+    vt = rl.load_vit_new_timm()
+    vm = vt.VisionTransformer(img_size=32, patch_size=8, embed_dim=32,
+                              depth=3, num_heads=4, num_classes=13).eval()
+    with torch.no_grad():
+        vm.cls_token.normal_(0, 0.5)
+        vm.pos_embed.normal_(0, 0.5)
+        vm.head.weight.normal_(0, 0.2)
+        vm.head.bias.normal_(0, 0.2)
+    torch.save(vm.state_dict(), d / "TINY_V.pth")
+    return d
+
+
+def test_golden_parity_cnn_twin(ckpt_dir, tmp_path):
+    out = str(tmp_path / "report_cnn")
+    res = _run(["--checkpoints", str(ckpt_dir), "--models", "TINY_R",
+                "--methods", "ig,lig,idgi,agi", "--synthetic", "2",
+                "--steps", "6", "--out", out])
+    assert res["ok"], res["summary"]
+    rows = [json.loads(l) for l in open(out + ".jsonl")]
+    assert len(rows) == 8 and all("error" not in r for r in rows)
+    assert all(r["rel_linf"] <= 1e-3 or r["method"] == "agi"
+               for r in rows), rows
+    md = open(out + ".md").read()
+    assert "PASS" in md and "FAIL" not in md
+
+
+def test_golden_parity_vit_twin(ckpt_dir, tmp_path):
+    out = str(tmp_path / "report_vit")
+    res = _run(["--checkpoints", str(ckpt_dir), "--models", "TINY_V",
+                "--methods", "rollout,cam_attn,bi_attn,t_attr",
+                "--synthetic", "1", "--steps", "5", "--out", out])
+    assert res["ok"], res["summary"]
+    rows = [json.loads(l) for l in open(out + ".jsonl")]
+    assert len(rows) == 4 and all("error" not in r for r in rows)
+    assert all(r["spearman"] > 0.99 for r in rows), rows
+
+
+def test_golden_parity_missing_checkpoint_is_skipped(ckpt_dir, tmp_path):
+    """A model without a checkpoint is reported as skipped, not a crash,
+    and the run stays ok (no verdicts, no failures)."""
+    out = str(tmp_path / "report_none")
+    res = _run(["--checkpoints", str(ckpt_dir), "--models", "R101",
+                "--synthetic", "1", "--steps", "4", "--out", out])
+    assert res["ok"] and res["summary"] == {}
