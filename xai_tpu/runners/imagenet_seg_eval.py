@@ -30,8 +30,9 @@ def _get_attr(args, bundle, family, ctx):
     if args.method == "shap":
         from ..methods.ablation import shapley_sampling
         from ..methods.gradient import to_saliency
-        return to_saliency(shapley_sampling(ctx.bundle, ctx.x, ctx.target,
-                                            ctx.key))
+        return to_saliency(shapley_sampling(
+            ctx.bundle, ctx.x, ctx.target, ctx.key,
+            n_samples=args.shap_samples))
     if args.method == "Calibrate_Best_Possible":
         from ..methods.mas_calibrate import refine_attribution
         from ..native import slic
@@ -60,6 +61,54 @@ def run(args) -> dict:
     total_label = np.int64(0)
     total_ap, total_f1 = [], []
     skipped = 0
+    adt = {"bf16": jnp.bfloat16, "f32": None}[
+        getattr(args, "attr_dtype", "f32")]
+
+    def score_one(sal, gt_mask):
+        nonlocal total_correct, total_label, total_inter, total_union
+        if args.method in ("Calibrate_Best_Possible", "MDA_dense"):
+            # per-image best-IoU threshold (imagenet_seg_eval.py:194-222)
+            sal, thr = best_threshold(sal, gt_mask)
+            correct, labeled, inter, union, ap, f1 = eval_batch(
+                sal, gt_mask, thr=thr, normalized=True)
+        else:
+            # --thr > 0 fixes the fg/bg split; 0 keeps the mean threshold
+            correct, labeled, inter, union, ap, f1 = eval_batch(
+                sal, gt_mask, thr=args.thr if args.thr > 0 else None)
+        total_correct += np.int64(correct)
+        total_label += np.int64(labeled)
+        total_inter += inter.astype(np.int64)
+        total_union += union.astype(np.int64)
+        total_ap.append(ap)
+        total_f1.append(f1)
+
+    def flush(buf):
+        """One fused multi-image attribution dispatch when the method has a
+        batched implementation (methods/batch.py); shap /
+        Calibrate_Best_Possible and other unbatched methods fall back to
+        the per-image path inside the same buffer."""
+        from ..methods.batch import batch_attribution
+        sals = None
+        if args.method not in ("shap", "Calibrate_Best_Possible"):
+            sals = batch_attribution(
+                family, args.method, bundle,
+                np.stack([b["x"] for b in buf]),
+                np.stack([b["trans_img"] for b in buf]),
+                np.array([b["target"] for b in buf]),
+                np.stack([np.asarray(b["key"]) for b in buf]),
+                img_hw=bundle.meta.img_hw, dtype=adt)
+        if sals is None:
+            sals = [_get_attr(args, bundle, family, AttrContext(
+                bundle=bundle, x=jnp.asarray(b["x"]),
+                trans_img=b["trans_img"], target=b["target"],
+                key=b["key"], img_hw=bundle.meta.img_hw, dtype=adt))
+                for b in buf]
+        for b, sal in zip(buf, sals):
+            score_one(np.asarray(sal), b["gt_mask"])
+        buf.clear()
+
+    buf = []
+    base_key = jax.random.PRNGKey(args.seed)
     for i, item in enumerate(ds):
         if args.image_count and i >= args.image_count:
             break
@@ -70,27 +119,22 @@ def run(args) -> dict:
         if float(probs[target]) * 100 < args.acc_cutoff:
             skipped += 1
             continue
-        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+        key = jax.random.fold_in(base_key, i)
+        if args.image_batch > 1:
+            buf.append({"x": np.asarray(x),
+                        "trans_img": np.asarray(item.trans_img),
+                        "target": target, "key": key,
+                        "gt_mask": item.gt_mask})
+            if len(buf) == args.image_batch:
+                flush(buf)
+            continue
         ctx = AttrContext(bundle=bundle, x=x, trans_img=item.trans_img,
                           target=target, key=key,
-                          img_hw=bundle.meta.img_hw)
+                          img_hw=bundle.meta.img_hw, dtype=adt)
         sal = _get_attr(args, bundle, family, ctx)
-        if args.method in ("Calibrate_Best_Possible", "MDA_dense"):
-            # per-image best-IoU threshold (imagenet_seg_eval.py:194-222)
-            sal, thr = best_threshold(sal, item.gt_mask)
-            correct, labeled, inter, union, ap, f1 = eval_batch(
-                sal, item.gt_mask, thr=thr, normalized=True)
-        else:
-            # --thr > 0 fixes the fg/bg split; 0 keeps the mean threshold
-            correct, labeled, inter, union, ap, f1 = eval_batch(
-                sal, item.gt_mask,
-                thr=args.thr if args.thr > 0 else None)
-        total_correct += np.int64(correct)
-        total_label += np.int64(labeled)
-        total_inter += inter.astype(np.int64)
-        total_union += union.astype(np.int64)
-        total_ap.append(ap)
-        total_f1.append(f1)
+        score_one(np.asarray(sal), item.gt_mask)
+    if buf:
+        flush(buf)
 
     pixAcc = float(total_correct / (np.spacing(1) + total_label))
     mIoU = float((total_inter / (np.spacing(1) + total_union)).mean())
@@ -122,12 +166,21 @@ def build_parser():
                    help="skip images whose softmax confidence (percent) is "
                         "below this (imagenet_seg_eval.py:234; default 60)")
     p.add_argument("--epochs", type=int, default=25)
+    p.add_argument("--shap_samples", type=int, default=25,
+                   help="ShapleyValueSampling permutation count (captum "
+                        "default 25, imagenet_seg_eval.py:165)")
     p.add_argument("--dataset_path", type=str, default="gtsegs_ijcv.mat")
     p.add_argument("--params_path", type=str, default="")
     p.add_argument("--output_dir", type=str, default="seg_eval_results")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cuda_num", type=int, default=0)
+    p.add_argument("--attr_dtype", type=str, default="f32",
+                   choices=("f32", "bf16"),
+                   help="attribution sweep dtype (bf16 = opt-in fast path)")
+    p.add_argument("--image_batch", type=int, default=1,
+                   help="fused multi-image attribution batch size "
+                        "(methods with a batched implementation)")
     return p
 
 
