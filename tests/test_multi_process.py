@@ -71,3 +71,121 @@ def test_two_process_allreduce():
     got = outs[0]["means"]
     assert abs(got["MAS_ins"] - want_ins) < 1e-6
     assert abs(got["MAS_del"] - want_del) < 1e-6
+
+# ---------------------------------------------------------------------------
+# End-to-end distributed sweep (VERDICT r3 #7): the REAL drivers under a
+# real 2-process jax.distributed cluster — manifest job striping (sweep.py)
+# plus --shard_images image striping with allreduce of the actual battery
+# score sums — must produce CSVs identical to a 1-process run.
+# ---------------------------------------------------------------------------
+
+E2E_WORKER = r"""
+import json, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from xai_tpu.parallel import multi_host
+
+pid = int(sys.argv[1]); port = sys.argv[2]; base = sys.argv[3]
+multi_host.initialize(coordinator_address=f"127.0.0.1:{port}",
+                      num_processes=2, process_id=pid)
+
+# (a) sweep-runner job striping into a SHARED output dir + manifest
+from xai_tpu.runners.sweep import build_parser as sweep_parser, run_sweep
+sweep_dir = os.path.join(base, "sweep_shared")
+run_sweep(sweep_parser().parse_args([
+    "--drivers", "pert", "--models", "TINY_CNN", "--methods", "grad,ig",
+    "--image_count", "2", "--synthetic", "2", "--output_dir", sweep_dir]))
+
+# (b) flagship driver with image striping + score-sum allreduce
+from xai_tpu.runners.evaluate_perturbation import (build_parser,
+                                                   evaluate_perturbation)
+out_dir = os.path.join(base, f"pert_p{pid}")
+means = evaluate_perturbation(build_parser().parse_args([
+    "--model", "TINY_CNN", "--attr_func", "grad", "--image_count", "5",
+    "--synthetic", "5", "--shard_images", "--output_dir", out_dir]))
+print("RESULT " + json.dumps({"pid": pid, "means": means}), flush=True)
+"""
+
+
+def _read_csv(path):
+    import csv
+    with open(path) as f:
+        return {r[0]: r[1] for r in csv.reader(f) if r}
+
+
+def test_two_process_sweep_and_sharded_driver(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", E2E_WORKER, str(pid), str(port),
+         str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, cwd=repo)
+        for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err.decode()[-3000:]
+        line = [ln for ln in out.decode().splitlines()
+                if ln.startswith("RESULT ")][0]
+        outs.append(json.loads(line[len("RESULT "):]))
+
+    # ---- 1-process ground truth (same code, no cluster) ----
+    from xai_tpu.runners.sweep import build_parser as sweep_parser, run_sweep
+    from xai_tpu.runners.evaluate_perturbation import (build_parser,
+                                                       evaluate_perturbation)
+    solo_sweep = str(tmp_path / "sweep_solo")
+    run_sweep(sweep_parser().parse_args([
+        "--drivers", "pert", "--models", "TINY_CNN", "--methods", "grad,ig",
+        "--image_count", "2", "--synthetic", "2",
+        "--output_dir", solo_sweep]))
+    solo_pert = str(tmp_path / "pert_solo")
+    solo_means = evaluate_perturbation(build_parser().parse_args([
+        "--model", "TINY_CNN", "--attr_func", "grad", "--image_count", "5",
+        "--synthetic", "5", "--output_dir", solo_pert]))
+
+    # (a) striped sweep: the SHARED manifest has both jobs ok, split 1/1
+    # across processes, and each per-job CSV equals the solo sweep's
+    manifest = [json.loads(l) for l in open(
+        tmp_path / "sweep_shared" / "sweep_manifest.jsonl")]
+    ok = {(r["model"], r["attr_func"]) for r in manifest
+          if r["status"] == "ok"}
+    assert ok == {("TINY_CNN", "grad"), ("TINY_CNN", "ig")}
+    for attr in ("grad", "ig"):
+        got = _read_csv(os.path.join(
+            str(tmp_path / "sweep_shared"), "TINY_CNN",
+            f"{attr}_2_images.csv"))
+        want = _read_csv(os.path.join(solo_sweep, "TINY_CNN",
+                                      f"{attr}_2_images.csv"))
+        for k in want:
+            if k in ("Attr Avg Runtime", "Total Runtime"):
+                continue
+            # f32 battery scores: a live 2-process cluster changes the CPU
+            # backend's device topology, so in-jit reduction order (and hence
+            # the last few ulps) can differ from the solo run.  Wiring bugs
+            # (wrong stripe, wrong normalization) would be off by O(0.1).
+            assert abs(float(got[k]) - float(want[k])) < 1e-4, (attr, k)
+
+    # (b) sharded driver: BOTH processes' CSVs equal the solo run's —
+    # the allreduce made the partial sums global before the write
+    want = _read_csv(os.path.join(solo_pert, "TINY_CNN",
+                                  "grad_5_images.csv"))
+    for pid in (0, 1):
+        got = _read_csv(os.path.join(str(tmp_path / f"pert_p{pid}"),
+                                     "TINY_CNN", "grad_5_images.csv"))
+        for k in want:
+            if k in ("Attr Avg Runtime", "Total Runtime"):
+                continue
+            assert abs(float(got[k]) - float(want[k])) < 1e-4, (pid, k)
+    # and the returned means agree with the solo means
+    for k, v in solo_means.items():
+        assert abs(outs[0]["means"][k] - v) < 1e-4, k
+        assert abs(outs[1]["means"][k] - v) < 1e-4, k

@@ -122,4 +122,6 @@ def init_on_cpu(init_fn):
 
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         params = init_fn()
-    return jax.device_put(params, jax.devices()[0])
+    # local_devices, NOT devices: under jax.distributed, devices()[0] is
+    # process 0's device — non-addressable from other processes
+    return jax.device_put(params, jax.local_devices()[0])

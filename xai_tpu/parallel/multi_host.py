@@ -35,6 +35,68 @@ def my_shard(items: list) -> list:
     return list(items)[jax.process_index()::jax.process_count()]
 
 
+_BARRIER_SEQ = [0]
+
+
+def barrier(name: str = "xai_tpu_sync", timeout_s: float = 1800.0):
+    """Coordination-service barrier (NOT a device collective).
+
+    XLA's CPU-gloo (and ICI) collective-clique setup bootstraps through the
+    distributed KV store with a HARD-CODED ~30 s deadline; a real sweep's
+    processes arrive at their first collective with arbitrary skew (striped
+    jobs compile different programs).  Parking the early processes here —
+    the coordination service accepts an explicit long timeout — makes the
+    subsequent clique setup effectively simultaneous.  All processes must
+    call this the same number of times (they do: it is only invoked from
+    the allreduce helpers, which every process reaches once per driver
+    run); the sequence counter keeps barrier ids unique per call site."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return
+    _BARRIER_SEQ[0] += 1
+    client.wait_at_barrier(f"{name}_{_BARRIER_SEQ[0]}",
+                           timeout_in_ms=int(timeout_s * 1000))
+
+
+def allreduce_sums(scores: dict, extra: float = 0.0):
+    """Sum per-host score-SUMS (plus one scalar, e.g. attribution seconds)
+    across all hosts; every host returns the identical global sums.  The
+    drivers' CSV writer divides by the shared kept-image count, so after
+    this every host writes a byte-identical score table.
+
+    All hosts must pass the same key set (run_battery always emits the
+    same 10 keys; a host that scored zero images passes {} and is padded
+    with zeros for the union gathered from a designated host)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.process_count() == 1:
+        return dict(scores), float(extra)
+
+    barrier("allreduce_sums")
+    from jax.experimental import multihost_utils
+
+    # agree on the key set: host 0's keys win; a host with extra/missing
+    # keys would desynchronize the fixed-size gather below
+    keys = sorted(scores)
+    keys = multihost_utils.broadcast_one_to_all(
+        np.frombuffer(",".join(keys).encode().ljust(4096), np.uint8))
+    keys = bytes(np.asarray(keys)).decode().rstrip("\x00 ").split(",")
+    keys = [k for k in keys if k]
+    local = jnp.asarray([float(scores.get(k, 0.0)) for k in keys]
+                        + [float(extra)])
+    gathered = multihost_utils.process_allgather(local)
+    total = np.asarray(gathered).reshape(jax.process_count(), -1).sum(0)
+    return ({k: float(total[i]) for i, k in enumerate(keys)},
+            float(total[-1]))
+
+
 def allreduce_scores(scores: dict, count: int):
     """Sum per-host (score-sums, image counts) across all hosts and return
     global means.  Uses a psum over the global device mesh."""
@@ -44,6 +106,7 @@ def allreduce_scores(scores: dict, count: int):
     if jax.process_count() == 1:
         return {k: v / max(count, 1) for k, v in scores.items()}
 
+    barrier("allreduce_scores")
     keys = sorted(scores)
     local = jnp.asarray([scores[k] for k in keys] + [float(count)])
     from jax.experimental import multihost_utils

@@ -119,6 +119,18 @@ def evaluate_perturbation(args) -> dict:
     gating = not (args.synthetic or args.skip_gates)
     base_key = jax.random.PRNGKey(args.seed)
 
+    # --shard_images under jax.distributed: every process walks the FULL
+    # stream and evaluates the correct-mask, gates and class quota
+    # identically (3 cheap forwards/image vs ~700 for the battery — the
+    # duplication is noise), so the kept list is equal by construction;
+    # the expensive attribution + battery then run only for this process's
+    # stripe, and the score sums are allreduced before the CSV so every
+    # process writes the same table (SURVEY §2.14 distributed story).
+    shard = bool(getattr(args, "shard_images", False)) \
+        and jax.process_count() > 1
+    pidx, pcount = jax.process_index(), jax.process_count()
+    kept_rank = 0
+
     for item in stream:
         if images_used == args.image_count:
             break
@@ -132,6 +144,12 @@ def evaluate_perturbation(args) -> dict:
         if classes_used[target] == images_per_class:
             continue
         classes_used[target] += 1
+        mine = (not shard) or (kept_rank % pcount == pidx)
+        kept_rank += 1
+        if not mine:
+            # counts toward the shared denominator + the loop's break
+            images_used += 1
+            continue
 
         key = jax.random.fold_in(base_key, item.index)
         # CLIP: target prompt embedding + real BPE token ids for the probed
@@ -207,6 +225,11 @@ def evaluate_perturbation(args) -> dict:
     total_time = time.time() - t0
     if maps_store is not None:
         maps_store.close()
+    if shard:
+        # combine per-process score sums; every process then writes the
+        # identical CSV (runtimes stay per-process — they ARE per-process)
+        from ..parallel.multi_host import allreduce_sums
+        result, attr_time = allreduce_sums(result, attr_time)
     if images_used:
         folder = os.path.join(args.output_dir, args.model)
         write_result_csv(folder, f"{args.attr_func}_{args.image_count}_images",
@@ -250,6 +273,11 @@ def build_parser():
                    help="bypass the blur/black sanity gates (useful with "
                         "random weights; the reference gates assume a "
                         "trained model)")
+    p.add_argument("--shard_images", action="store_true",
+                   help="under jax.distributed: stripe the kept images "
+                        "over processes and allreduce the score sums so "
+                        "every process writes the same CSV as a "
+                        "single-process run")
     return p
 
 
