@@ -107,3 +107,32 @@ def test_hm_to_rgb_matches_reference():
         want = ref.hm_to_rgb(R.copy(), scaling=3, sigma=1, cmap=cmap)
         got = hm_to_rgb(R.copy(), scaling=3, sigma=1, cmap=cmap)
         assert np.abs(want - got).max() == 0.0
+
+def test_hm_to_rgb_canny_outline():
+    """The outline path the reference documents (X/sigma params,
+    render.py:153-216; the canny draw is commented out upstream, the
+    documented ``rgb *= ~edges`` semantics are implemented natively):
+    edges of X become black pixels, flat regions are untouched."""
+    import numpy as np
+    from xai_tpu.utils.render import canny
+    from xai_tpu.utils.visualization import hm_to_rgb
+
+    X = np.zeros((28, 28))
+    X[8:20, 8:20] = 1.0                       # sharp square -> clean edges
+    edges = canny(X, sigma=1.0)
+    assert edges.any()
+    # edges live near the square boundary, not in the flat corners
+    assert not edges[:4, :4].any() and not edges[-4:, -4:].any()
+    yy, xx = np.nonzero(edges)
+    assert yy.min() >= 5 and yy.max() <= 22
+
+    R = np.random.RandomState(0).randn(28, 28)
+    plain = hm_to_rgb(R.copy(), scaling=1)
+    outlined = hm_to_rgb(R.copy(), X=X, scaling=1, sigma=1.0)
+    e1 = canny(X, sigma=1.0)
+    assert np.all(outlined[e1] == 0.0)        # outline pixels are black
+    assert np.allclose(outlined[~e1], plain[~e1])  # others untouched
+
+    # constant template: no edges, bit-identical output
+    same = hm_to_rgb(R.copy(), X=np.zeros((28, 28)), scaling=1)
+    assert np.abs(same - plain).max() == 0.0

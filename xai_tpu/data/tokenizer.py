@@ -1,6 +1,12 @@
 """CLIP byte-pair-encoding tokenizer (GPT-2-style byte BPE).
 
-Functionally equivalent to openai-CLIP's SimpleTokenizer: byte->unicode
+Provenance: this module follows openai-CLIP's ``SimpleTokenizer``
+(MIT-licensed; the reference vendors it four times, e.g.
+CLIP_Surgery/clip/simple_tokenizer.py) closely — ``bytes_to_unicode``,
+``get_pairs`` and the ``bpe()`` merge loop are structurally the same
+procedure because bit-compatible byte-BPE admits exactly one algorithm;
+the tokenize() batching and the regex handling were re-derived here.
+Pipeline: byte->unicode
 mapping, merge ranks from the standard ``bpe_simple_vocab_16e6.txt.gz``
 (bundled in this package — the same public vocab DATA file every CLIP fork
 vendors, e.g. CLIP_Surgery/clip/bpe_simple_vocab_16e6.txt.gz), lowercasing +

@@ -241,19 +241,23 @@ def agi_batch(bundle, trans_imgs, epsilon=0.05, topk=1, max_iter=20,
     [80, 99] clip per image.  trans_imgs: [B, H, W, 3] in [0, 1].
 
     ``dtype=bf16`` runs the PGD attack sweep (forwards + both softmax VJPs,
-    the delta accumulation, and the initial prediction) in bf16; the
-    percentile post-processing is always f32.  sign() makes FGSM steps
-    robust to the quantization, but the attack trajectory CAN diverge from
-    f32 where an argmax flips — bf16 here is a throughput operating point,
-    not a bit-parity one."""
+    the delta accumulation) in bf16; the INITIAL prediction — which pins
+    both the skipped-target set and the ``-grad_label`` label class — is
+    always computed in f32, and the percentile post-processing is always
+    f32.  sign() makes FGSM steps robust to the quantization, but the
+    attack trajectory CAN still diverge from f32 where a per-step
+    early-exit argmax flips — bf16 here is a throughput operating point,
+    not a bit-parity one (PARITY.md)."""
     xs = jnp.asarray(trans_imgs, jnp.float32)
     napply = _make_norm_apply(bundle.apply, tuple(bundle.meta.mean),
                               tuple(bundle.meta.std))
     params, xsw = bundle.params, xs
+    # f32 initial argmax even under bf16: a flipped init_pred would change
+    # WHICH classes are attacked, not just arithmetic precision (ADVICE r3)
+    init_preds = jnp.argmax(_jit_napply(napply)(bundle.params, xs), axis=-1)
     if dtype is not None:
         params = G._cast_params_cached(bundle, dtype)
         xsw = xs.astype(dtype)
-    init_preds = jnp.argmax(_jit_napply(napply)(params, xsw), axis=-1)
     selected = list(range(0, 999, int(1000 / topk)))
 
     total = _agi_batch_jit(napply, params, xsw, init_preds,
@@ -283,8 +287,9 @@ def _agi_batch_jit(napply, params, xs, init_preds, selected, max_iter,
 # ---------------------------------------------------------------------------
 
 _ADAPTER_CACHE: "collections.OrderedDict" = collections.OrderedDict()
-_ADAPTER_CACHE_CAP = 64   # ~46 methods x a couple of live models; LRU
-                          # eviction only re-pays a trace, never corrupts
+_ADAPTER_CACHE_CAP = 128  # ≥ ~46 methods x 2 live models (an interleaved
+                          # two-model sweep's working set); LRU eviction
+                          # only re-pays a trace, never corrupts
 
 
 def _cached_vmapped(name, anchor, extra_key, make):

@@ -51,15 +51,26 @@ def _rise_scores(apply_fn, params, x, masks, target, chunk):
 
 
 def rise(bundle, x, target, key, n_masks: int = 2000, s: int = 8,
-         p1: float = 0.5, chunk: int = 50) -> jnp.ndarray:
+         p1: float = 0.5, chunk: int = 50, dtype=None) -> jnp.ndarray:
     """Response-weighted mask sum / (N * p1) (generate_emap.py:85-104).
-    Returns [H, W]."""
+    Returns [H, W].
+
+    ``dtype=bf16`` runs the N masked scoring forwards — the entire cost at
+    N=2000 — in bf16; mask generation and the final response-weighted mask
+    sum stay f32 (the weighting einsum is ~N*H*W FLOPs, irrelevant)."""
     x = jnp.asarray(x)
     hw = x.shape[0]
     while n_masks % chunk:
         chunk -= 1
     masks = generate_masks(key, n_masks, s, p1, hw)
-    scores = _rise_scores(bundle.apply, bundle.params, x, masks, target,
-                          chunk)
+    params = bundle.params
+    if dtype is not None:
+        from .gradient import _cast_params_cached
+        params = _cast_params_cached(bundle, dtype)
+        scores = _rise_scores(bundle.apply, params, x.astype(dtype),
+                              masks.astype(dtype), target, chunk)
+        scores = scores.astype(jnp.float32)
+    else:
+        scores = _rise_scores(bundle.apply, params, x, masks, target, chunk)
     sal = jnp.einsum("n,nhw->hw", scores, masks)
     return sal / n_masks / p1

@@ -83,12 +83,15 @@ def enlarge_image(img: np.ndarray, scaling: int = 3) -> np.ndarray:
     return np.kron(img, np.ones(reps, dtype=img.dtype))
 
 
-def hm_to_rgb(R: np.ndarray, scaling: int = 3, cmap: str = "bwr",
-              normalize: bool = True, sigma: float = 2) -> np.ndarray:
+def hm_to_rgb(R: np.ndarray, X: np.ndarray | None = None, scaling: int = 3,
+              cmap: str = "bwr", normalize: bool = True,
+              sigma: float = 2) -> np.ndarray:
     """Heatmap -> RGB image (evaluations/utils/render.py:153-216, used by
     the reference's HDF5 results reader expl_hdf5.py:47).  The outline
-    branch is dead code upstream (canny commented out); ``sigma`` is kept
-    for signature parity."""
+    branch is dead code upstream (the canny call is commented out at
+    render.py:213-216) but its documented semantics — multiply a black
+    canny-edge outline of ``X`` onto the heatmap — are implemented here
+    via the native detector in utils/render.py (skimage-free)."""
     import matplotlib.cm
     R = np.asarray(R, dtype=np.float64)
     if normalize:
@@ -96,4 +99,11 @@ def hm_to_rgb(R: np.ndarray, scaling: int = 3, cmap: str = "bwr",
         R = (R + 1.0) / 2.0
     R = enlarge_image(R, scaling)
     cm = matplotlib.colormaps[cmap]
-    return cm(R.reshape(-1))[..., 0:3].reshape(R.shape[0], R.shape[1], 3)
+    rgb = cm(R.reshape(-1))[..., 0:3].reshape(R.shape[0], R.shape[1], 3)
+    if X is not None:
+        from .render import canny
+        Xl = enlarge_image(np.asarray(X, np.float64), scaling)
+        if Xl.shape == rgb.shape[:2]:
+            edges = canny(Xl, sigma=sigma)
+            rgb = rgb * (~np.dstack([edges] * 3)).astype(rgb.dtype)
+    return rgb
