@@ -65,7 +65,8 @@ def budget_ok(name):
 def row(metric, value, unit="attr/s/chip", **extra_fields):
     if not isinstance(value, str):
         value = round(float(value), 3)
-    e = {"metric": metric, "value": value, "unit": unit}
+    e = {"metric": metric, "value": value, "unit": unit,
+         "t": round(time.time() - _T0, 1)}   # budget diagnostics
     e.update(extra_fields)
     EXTRAS.append(e)
 
