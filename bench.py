@@ -289,7 +289,13 @@ def _explainer_batch_rows(BT, prefix, family, name, bundle, imgs, targets,
     (an OOM at batch 32 must not kill the remaining rows)."""
     for B, dt in points:
         reps = int(np.ceil(B / imgs.shape[0]))
-        xs = np.concatenate([np.asarray(imgs)] * reps)[:B]
+        # images live ON DEVICE before the timed loop (as in a pipelined
+        # production run, and as round 3 measured): re-uploading 5-19 MB
+        # of numpy per call measures the dev tunnel's ~15 MB/s, not the
+        # method (targets/keys stay host-side — the adapters consume them
+        # as numpy)
+        xs = jnp.asarray(np.concatenate([np.asarray(imgs)] * reps)[:B])
+        xs.block_until_ready()
         ts = np.concatenate([np.asarray(targets)] * reps)[:B]
         ks = np.concatenate([np.asarray(keys)] * reps)[:B]
         ex = extras_fn(B) if extras_fn else None
@@ -504,6 +510,29 @@ def main():
     try:
         from xai_tpu.runners.common import enable_compilation_cache
         enable_compilation_cache()
+    except Exception:
+        pass
+    # tunnel health diagnostics: blocking-dispatch RTT and device->host
+    # bandwidth vary >5x day-to-day on the shared tunnel and bound every
+    # host-blocking row (single-attr rates, batch rows' map downloads) —
+    # recording them makes rounds comparable
+    try:
+        f = jax.jit(lambda x: x + 1.0)
+        tiny = jnp.zeros((8,))
+        big = jnp.zeros((8, 224, 224))
+        np.asarray(f(tiny)), np.asarray(f(big))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            np.asarray(f(tiny))
+        rtt = (time.perf_counter() - t0) / 10
+        t0 = time.perf_counter()
+        for _ in range(5):
+            np.asarray(f(big))
+        per_big = (time.perf_counter() - t0) / 5
+        row("tunnel_rtt_ms", rtt * 1000, "ms blocking round-trip")
+        row("tunnel_down_mbps",
+            (big.size * 4 / 1e6) / max(per_big - rtt, 1e-9),
+            "MB/s device->host")
     except Exception:
         pass
     rate = None
