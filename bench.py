@@ -1,24 +1,36 @@
-"""Benchmark suite covering the whole method surface (~50 rows), so
+"""Benchmark suite covering the whole method surface (~60 rows), so
 round-over-round regressions anywhere are driver-visible (VERDICT r2 #5).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
-The headline key keeps the round-1 contract (ResNet-50 IG-50 f32
-attributions/sec); the bf16 fused sweep is the production operating point
-(--attr_dtype bf16) and gets its own rows + MFU.  Also writes
-BENCH_TABLE.md (the BASELINE.md method table is generated from this
-artifact, not hand-measured).
+Prints ONE COMPACT JSON line {"metric", "value", "unit", "vs_baseline", ...}
+(the r4 artifact's ``parsed: null`` showed the driver's output capture is
+~2 KB — the full per-row data now lives in the committed files
+``BENCH_EXTRAS.json`` / ``BENCH_TABLE.md`` / ``BENCH_HISTORY.jsonl``, not
+in the stdout line).
 
-Measurement protocol (VERDICT r3 #1): every throughput row is the MEDIAN
-of BENCH_REPS (>=3) timed repetitions, compile excluded by a warmup call,
-with {min, max, reps} recorded in the artifact — single-shot rows over the
-erratic tunnel swung +/-40% between same-code runs in round 3.
+Measurement protocol (VERDICT r4 #1 — cross-RUN reproducibility):
 
-MFU convention (VERDICT r3 #4): mfu_* rows = fraction of the DOCUMENTED
-v5e hardware peak (197 TFLOP/s bf16 MXU; no separate f32 spec exists, so
-f32 MFU uses the same denominator — drift-proof round over round).
-roofline_frac_* rows = fraction of the MEASURED compiled-op ceiling
-(~48 TFLOP/s effective fwd+VJP at IG sweep shapes, tools/roofline_probe.py)
-— useful for "is orchestration adding overhead", labeled as measured.
+* every throughput row is the MEDIAN of BENCH_REPS (>=3) timed repetitions,
+  compile excluded by a warmup call, {min, max, reps} recorded;
+* the WHOLE row set is then measured a SECOND time back-to-back (pass 2,
+  same closures, everything warm) and each row records ``value_run2`` +
+  ``cross_run_delta``; rows whose two medians disagree by >15% carry
+  ``drift_flag: true`` — that separates code regressions from environment
+  drift at the artifact level;
+* rows whose per-dispatch period is < 5x the measured tunnel RTT carry
+  ``tunnel_bound: true`` — they time the dev tunnel's blocking round-trip,
+  not the chip; their production headline is the amortized batch row;
+* every run appends one line per row to ``BENCH_HISTORY.jsonl`` (the
+  variance manifest, VERDICT r4 #8); BENCH_TABLE.md footnotes any row whose
+  current value deviates >25% from its committed history median.
+
+MFU convention (VERDICT r3 #4 + r4 advisor rename): ``mfu_hw_*`` rows =
+fraction of the DOCUMENTED v5e hardware peak (197 TFLOP/s bf16 MXU; no
+separate f32 spec exists, so f32 MFU uses the same denominator).
+``roofline_frac_*`` rows = fraction of an op ceiling MEASURED IN THIS RUN
+(queued-dispatch throughput of the same compiled sweep, depth 8 — the
+fastest the chip executes the op with zero host gaps), so the fraction is
+a fraction by construction; the r4 constant-based version published
+roofline_frac_bf16 = 1.112 against a stale constant (VERDICT r4 #5).
 
 Baseline protocol: the reference implementation's own IG loop
 (saliencyMethods.py:13-72, steps=50 batch=50) run with torch on THIS
@@ -28,6 +40,7 @@ value / (1 / 29.64).
 """
 import json
 import os
+import re
 import time
 
 import numpy as np
@@ -41,22 +54,26 @@ BASELINE_ATTR_PER_SEC = 1.0 / MEASURED_TORCH_CPU_SECONDS_PER_ATTR
 # 50 interpolation steps -> ~615 GFLOP per attribution.
 IG50_FLOP = 50 * 3 * 4.1e9
 V5E_HW_PEAK = 197e12          # documented v5e bf16 MXU peak
-F32_OP_CEILING = 48e12        # measured compiled f32 fwd+VJP ceiling
-BF16_OP_CEILING = 48e12       # measured bf16 ceiling at IG sweep shapes
 
 EXTRAS = []
+_MEASURES = []                # (metric, measure_fn, reps) for pass 2
 BENCH_REPS = max(1, int(os.environ.get("BENCH_REPS", "3")))
+RUN_ID = int(time.time())
 
 # wall-clock budget: the tunnel's compile service is erratic (each fresh
 # jit signature 20-200s); rows are ordered required-first and the guard
-# stops ADDING rows when the budget is spent so the JSON line always lands
+# stops ADDING rows when the pass-1 budget is spent so the JSON line always
+# lands.  Pass 2 (cross-run re-measurement, everything warm) gets the
+# remainder up to BUDGET_S.
 _T0 = time.time()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+_PASS1_FRAC = 0.62
 _SKIPPED = []
+_RTT_S = None                 # measured tunnel blocking round-trip
 
 
 def budget_ok(name):
-    if time.time() - _T0 < BUDGET_S:
+    if time.time() - _T0 < BUDGET_S * _PASS1_FRAC:
         return True
     _SKIPPED.append(name)
     return False
@@ -71,13 +88,20 @@ def row(metric, value, unit="attr/s/chip", **extra_fields):
     EXTRAS.append(e)
 
 
-def mrow(metric, measure, unit="attr/s/chip", reps=None):
+def mrow(metric, measure, unit="attr/s/chip", reps=None, blocking=True):
     """Median-of-reps throughput row: runs ``measure()`` BENCH_REPS times
-    (caller already warmed the jit), records median + spread."""
-    vals = sorted(measure() for _ in range(reps or BENCH_REPS))
+    (caller already warmed the jit), records median + spread, and registers
+    the closure for the pass-2 cross-run re-measurement.  ``blocking``:
+    the measurement loop blocks on the tunnel once per dispatch (_blocked /
+    _host_rate) — only those rows are candidates for the tunnel_bound
+    label; pipelined rows overlap the RTT."""
+    n = reps or BENCH_REPS
+    vals = sorted(measure() for _ in range(n))
     med = vals[len(vals) // 2]
     row(metric, med, unit, min=round(float(vals[0]), 3),
-        max=round(float(vals[-1]), 3), reps=len(vals))
+        max=round(float(vals[-1]), 3), reps=len(vals),
+        **({"blocking": True} if blocking else {}))
+    _MEASURES.append((metric, measure, n))
     return med
 
 
@@ -90,6 +114,17 @@ def _pipelined(fn, n, depth=4):
             inflight.pop(0).block_until_ready()
     for a in inflight:
         a.block_until_ready()
+    return n / (time.perf_counter() - t0)
+
+
+def _queued(fn, n=8):
+    """Queued-dispatch op throughput: submit all, block once at the end —
+    the zero-host-gap device execution rate (the run-measured op ceiling)."""
+    fn(0).block_until_ready()
+    t0 = time.perf_counter()
+    rs = [fn(i) for i in range(n)]
+    for r in rs:
+        r.block_until_ready()
     return n / (time.perf_counter() - t0)
 
 
@@ -108,6 +143,18 @@ def _host_rate(fn, n):
     for i in range(n):
         fn(i)
     return n / (time.perf_counter() - t0)
+
+
+def _roofline_row(metric, frac, tag):
+    """roofline_frac must be a FRACTION (<= 1) of the ceiling measured in
+    THIS run (VERDICT r4 #5: the r4 constant-based bf16 row published
+    1.112).  5% headroom tolerates drift between the two measurements;
+    beyond that the row becomes a loud error, not a silent >1 value."""
+    if frac > 1.05:
+        row(metric, f"ANOMALY: frac {frac:.3f} > run-measured {tag} "
+            "ceiling", "error")
+    else:
+        row(metric, frac, f"fraction of run-measured {tag} op ceiling")
 
 
 def bench_resnet(extras):
@@ -129,16 +176,20 @@ def bench_resnet(extras):
                                chunk=100)
     igb(0).block_until_ready()
     rate = mrow("resnet50_ig50_batch4_attr_per_sec",
-                lambda: _pipelined(igb, 12) * B)
-    row("resnet50_ig50_mfu_f32", rate * IG50_FLOP / V5E_HW_PEAK,
+                lambda: _pipelined(igb, 12) * B, blocking=False)
+    # run-measured f32 op ceiling at the same shape (queued, no host gaps)
+    ceil_f32 = _queued(igb, 8) * B * IG50_FLOP
+    row("measured_op_ceiling_f32_tflops", ceil_f32 / 1e12,
+        "TFLOP/s queued ig_batch4 f32, this run")
+    row("resnet50_ig50_mfu_hw_f32", rate * IG50_FLOP / V5E_HW_PEAK,
         "fraction of 197 TFLOP/s v5e peak")
-    row("resnet50_ig50_roofline_frac_f32",
-        rate * IG50_FLOP / F32_OP_CEILING,
-        "fraction of measured 48 TFLOP/s f32 op ceiling")
+    _roofline_row("resnet50_ig50_roofline_frac_f32",
+                  rate * IG50_FLOP / ceil_f32, "f32")
 
     ig1 = lambda i: G.ig(bundle, imgs[i % 8], i % 1000, steps=50, chunk=50)
     ig1(0).block_until_ready()
-    mrow("resnet50_ig50_single_attr_per_sec", lambda: _pipelined(ig1, 24))
+    mrow("resnet50_ig50_single_attr_per_sec", lambda: _pipelined(ig1, 24),
+         blocking=False)
     mrow("resnet50_ig50_attr_per_sec_blocked", lambda: _blocked(ig1, 8))
 
     # bf16 PRODUCTION operating point: batch-8, chunk-100 fused sweep
@@ -147,12 +198,14 @@ def bench_resnet(extras):
                                  steps=50, chunk=100, dtype=jnp.bfloat16)
     igb16(0).block_until_ready()
     r16 = mrow("resnet50_ig50_bf16_batch8_attr_per_sec",
-               lambda: _pipelined(igb16, 8, depth=2) * B16)
-    row("resnet50_ig50_mfu_bf16", r16 * IG50_FLOP / V5E_HW_PEAK,
+               lambda: _pipelined(igb16, 8, depth=2) * B16, blocking=False)
+    ceil_bf16 = _queued(igb16, 8) * B16 * IG50_FLOP
+    row("measured_op_ceiling_bf16_tflops", ceil_bf16 / 1e12,
+        "TFLOP/s queued ig_batch8 bf16, this run")
+    row("resnet50_ig50_mfu_hw_bf16", r16 * IG50_FLOP / V5E_HW_PEAK,
         "fraction of 197 TFLOP/s v5e peak")
-    row("resnet50_ig50_roofline_frac_bf16",
-        r16 * IG50_FLOP / BF16_OP_CEILING,
-        "fraction of measured 48 TFLOP/s bf16 op ceiling")
+    _roofline_row("resnet50_ig50_roofline_frac_bf16",
+                  r16 * IG50_FLOP / ceil_bf16, "bf16")
 
     # metric battery (3 fused reveal passes), f32 and bf16
     from xai_tpu.metrics import run_battery
@@ -259,14 +312,12 @@ def bench_resnet(extras):
     x1 = lambda i: xrai(np.asarray(imgs[i % 4]), base_ig)
     x1(0)
     mrow("resnet50_xrai_attr_per_sec", lambda: _host_rate(x1, 2))
-    if budget_ok("xrai_bf16"):
-        # bf16 XRAI = bf16 base-IG sweep + the same host greedy; the greedy
-        # is attribution-input-bound so the IG sweep is the whole device cost
-        xb16 = lambda i: xrai(np.asarray(imgs[i % 4]), np.asarray(
-            G.ig(bundle, imgs[i % 4], 1, 50, 1.0, 0.0,
-                 dtype=jnp.bfloat16)))
-        xb16(0)
-        mrow("resnet50_xrai_bf16_attr_per_sec", lambda: _host_rate(xb16, 2))
+    # NOTE (VERDICT r4 #4c): no xrai bf16 row.  XRAI's device cost is one
+    # 50-step IG sweep; single-image IG is dispatch-bound at these shapes
+    # (see resnet50_ig50_single vs batch rows), so casting it bf16 cannot
+    # help and r4 measured it slower (2.6 vs 3.4).  The production
+    # low-precision path is the batched base-IG sweep feeding the same host
+    # greedy; its speed is the resnet50_ig50_bf16_batch8 row.
 
     return rate
 
@@ -307,7 +358,11 @@ def _explainer_batch_rows(BT, prefix, family, name, bundle, imgs, targets,
             f = lambda i: BT.batch_attribution(family, name, bundle, xs,
                                                xs, ts, ks, extras=ex,
                                                dtype=dt)
-            f(0)
+            if f(0) is None:
+                # batch_attribution's documented no-batched-impl signal —
+                # timing the None path would record an absurd rate
+                row(metric, "batch_attribution returned None", "error")
+                continue
             mrow(metric, lambda: _host_rate(f, 2) * B)
         except Exception as e:
             row(metric, f"{type(e).__name__}: {e}", "error")
@@ -328,7 +383,8 @@ def bench_vit(extras):
 
     r1 = lambda i: VE.rollout(bundle, imgs[i % 4])
     r1(0).block_until_ready()
-    mrow("vit_b16_rollout_attr_per_sec", lambda: _pipelined(r1, 24))
+    mrow("vit_b16_rollout_attr_per_sec", lambda: _pipelined(r1, 24),
+         blocking=False)
     if not budget_ok("rollout_batches"):
         return
     _explainer_batch_rows(BT, "vit_b16", "vit", "rollout", bundle, imgs, targets, keys)
@@ -344,7 +400,8 @@ def bench_vit(extras):
         return
     t1 = lambda i: VL.transformer_attribution(bundle, imgs[i % 4], i % 1000)
     t1(0).block_until_ready()
-    mrow("vit_b16_t_attr_attr_per_sec", lambda: _pipelined(t1, 12))
+    mrow("vit_b16_t_attr_attr_per_sec", lambda: _pipelined(t1, 12),
+         blocking=False)
     _explainer_batch_rows(BT, "vit_b16", "vit", "t_attr", bundle, imgs, targets, keys)
 
     if not budget_ok("vit_cx"):
@@ -396,6 +453,14 @@ def bench_vit(extras):
                             dtype=jnp.bfloat16)
         m16(0)
         mrow("vit_b16_mda16_bf16_attr_per_sec", lambda: _host_rate(m16, 2))
+    if budget_ok("mda196"):
+        # the reference's PRODUCTION shape: patch_count = 196
+        # (MDAFunctions.py:600-626, driver evaluatePerturbation.py:243-263)
+        # — committed as an artifact row (VERDICT r4 #4d), not prose
+        m196 = lambda i: mda(bundle, np.asarray(imgs[i % 2]), imgs[i % 2],
+                             prior224, 196, blur, target=1)
+        m196(0)
+        mrow("vit_b16_mda196_attr_per_sec", lambda: _host_rate(m196, 1))
 
 
 def bench_clip(extras):
@@ -487,24 +552,126 @@ def bench_clip(extras):
              lambda: _host_rate(mb, 2) * 8)
 
 
-def write_table(headline_rate):
+# ---------------------------------------------------------------------------
+# pass 2: cross-run re-measurement + per-row annotations (VERDICT r4 #1)
+# ---------------------------------------------------------------------------
+
+def second_pass():
+    by_name = {e["metric"]: e for e in EXTRAS}
+    skipped = []
+    for metric, measure, n in _MEASURES:
+        if time.time() - _T0 > BUDGET_S:
+            skipped.append(metric)
+            continue
+        e = by_name.get(metric)
+        if e is None or isinstance(e["value"], str):
+            continue
+        try:
+            vals = sorted(measure() for _ in range(n))
+        except Exception as exc:
+            e["run2_error"] = f"{type(exc).__name__}: {exc}"
+            continue
+        med2 = float(vals[len(vals) // 2])
+        e["value_run2"] = round(med2, 3)
+        v1 = float(e["value"])
+        d = (med2 - v1) / v1 if v1 else 0.0
+        e["cross_run_delta"] = round(d, 3)
+        if abs(d) > 0.15:
+            e["drift_flag"] = True
+    if skipped:
+        row("pass2_skipped_after_budget", ",".join(skipped), "note")
+
+
+def annotate_tunnel_bound():
+    """Rows whose per-DISPATCH period is < 5x the measured blocking RTT are
+    timing the tunnel, not the chip (VERDICT r4 #1)."""
+    if not _RTT_S:
+        return
+    for e in EXTRAS:
+        if not isinstance(e.get("value"), (int, float)) or e["value"] <= 0:
+            continue
+        if not e.get("blocking"):
+            continue     # pipelined rows overlap the RTT — not applicable
+        if "attr_per_sec" not in e["metric"] and \
+                "images_per_sec" not in e["metric"]:
+            continue
+        m = re.search(r"batch(\d+)", e["metric"])
+        b = int(m.group(1)) if m else 1
+        period = b / float(e["value"])
+        e["dispatch_period_s"] = round(period, 4)
+        if period < 5.0 * _RTT_S:
+            e["tunnel_bound"] = True
+
+
+# ---------------------------------------------------------------------------
+# artifacts: history manifest, extras file, markdown table, stdout line
+# ---------------------------------------------------------------------------
+
+def _load_history():
+    hist = {}
+    try:
+        with open("BENCH_HISTORY.jsonl") as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(r.get("value"), (int, float)):
+                    hist.setdefault(r["metric"], []).append(float(r["value"]))
+    except OSError:
+        pass
+    return hist
+
+
+def append_history():
+    with open("BENCH_HISTORY.jsonl", "a") as f:
+        for e in EXTRAS:
+            if not isinstance(e.get("value"), (int, float)):
+                continue
+            rec = {"run": RUN_ID, "metric": e["metric"],
+                   "value": e["value"], "unit": e["unit"]}
+            for k in ("min", "max", "value_run2", "cross_run_delta"):
+                if k in e:
+                    rec[k] = e[k]
+            f.write(json.dumps(rec) + "\n")
+
+
+def write_table(headline_rate, history):
     lines = ["# BENCH_TABLE (generated by bench.py — do not hand-edit)",
              "",
-             f"Protocol: median of {BENCH_REPS} reps per row (min/max in "
-             "BENCH_r*.json); compile excluded by warmup.",
+             f"Protocol: median of {BENCH_REPS} reps per row, then the whole "
+             "row set re-measured back-to-back (run2); drift = |run2-run1| "
+             "> 15%.  `tunnel` marks rows whose per-dispatch period is < 5x "
+             "the measured tunnel RTT — they time the dev tunnel, not the "
+             "chip; use the amortized batch row.  `hist!` marks rows >25% "
+             "off their BENCH_HISTORY.jsonl median.",
              "",
-             "| metric | value | min | max | unit |", "|---|---|---|---|---|",
-             f"| resnet50_ig50_attr_per_sec | {headline_rate:.3f} | | | "
-             "attr/s/chip |"]
+             "| metric | value | run2 | Δ | min | max | unit | flags |",
+             "|---|---|---|---|---|---|---|---|",
+             f"| resnet50_ig50_attr_per_sec | {headline_rate:.3f} | | | | |"
+             " attr/s/chip | |"]
     for e in EXTRAS:
-        lines.append(f"| {e['metric']} | {e['value']} | "
-                     f"{e.get('min', '')} | {e.get('max', '')} | "
-                     f"{e['unit']} |")
+        flags = []
+        if e.get("tunnel_bound"):
+            flags.append("tunnel")
+        if e.get("drift_flag"):
+            flags.append("drift")
+        h = history.get(e["metric"])
+        if h and isinstance(e.get("value"), (int, float)):
+            hm = sorted(h)[len(h) // 2]
+            if hm > 0 and abs(e["value"] - hm) / hm > 0.25:
+                flags.append("hist!")
+        d = e.get("cross_run_delta")
+        lines.append(
+            f"| {e['metric']} | {e['value']} | {e.get('value_run2', '')} | "
+            f"{'' if d is None else d} | {e.get('min', '')} | "
+            f"{e.get('max', '')} | {e['unit']} | {' '.join(flags)} |")
     with open("BENCH_TABLE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
 def main():
+    global _RTT_S
     # persistent compile cache: a no-op on the tunnel backend, minutes
     # saved on real TPU VMs where the driver re-runs bench every round
     try:
@@ -529,6 +696,7 @@ def main():
         for _ in range(5):
             np.asarray(f(big))
         per_big = (time.perf_counter() - t0) / 5
+        _RTT_S = rtt
         row("tunnel_rtt_ms", rtt * 1000, "ms blocking round-trip")
         row("tunnel_down_mbps",
             (big.size * 4 / 1e6) / max(per_big - rtt, 1e-9),
@@ -552,18 +720,45 @@ def main():
     if _SKIPPED:
         EXTRAS.append({"metric": "rows_skipped_after_budget",
                        "value": ",".join(_SKIPPED), "unit": "note"})
+    try:
+        second_pass()
+    except Exception as e:
+        EXTRAS.append({"metric": "second_pass_error",
+                       "value": f"{type(e).__name__}: {e}", "unit": "error"})
+    annotate_tunnel_bound()
     if rate is None:
         rate = 0.0
+    history = _load_history()
     try:
-        write_table(rate)
+        append_history()
     except Exception:
         pass
+    try:
+        write_table(rate, history)
+    except Exception:
+        pass
+    try:
+        with open("BENCH_EXTRAS.json", "w") as f:
+            json.dump({"run": RUN_ID, "headline": round(rate, 3),
+                       "extras": EXTRAS}, f, indent=1)
+    except Exception:
+        pass
+    drift = [e["metric"] for e in EXTRAS if e.get("drift_flag")]
+    nrows = sum(1 for e in EXTRAS
+                if isinstance(e.get("value"), (int, float)))
+    # COMPACT stdout line (the driver's capture truncates ~2 KB; full rows
+    # live in BENCH_EXTRAS.json / BENCH_TABLE.md / BENCH_HISTORY.jsonl)
     print(json.dumps({
         "metric": "resnet50_ig50_attr_per_sec",
         "value": round(rate, 3),
         "unit": "attributions/sec/chip",
         "vs_baseline": round(rate / BASELINE_ATTR_PER_SEC, 2),
-        "extras": EXTRAS,
+        "rows": nrows,
+        "drift_rows_gt15pct": drift[:8],
+        "n_drift": len(drift),
+        "tunnel_rtt_ms": round(_RTT_S * 1000, 1) if _RTT_S else None,
+        "artifacts": ["BENCH_EXTRAS.json", "BENCH_TABLE.md",
+                      "BENCH_HISTORY.jsonl"],
     }))
 
 
