@@ -254,7 +254,11 @@ def bench_resnet(extras):
     mrow("resnet50_guided_ig50_batch4_attr_per_sec",
          lambda: _host_rate(gb, 3) * 4)
     if budget_ok("gig_batch16"):
-        i16 = np.concatenate([imgs[:8], imgs[:8]])
+        # device-resident inputs, same methodology as the explainer batch
+        # rows (re-uploading 9.6 MB of numpy per call measures the tunnel;
+        # BASELINE.md "Guided-IG / AGI dispatch-floor decomposition")
+        i16 = jnp.concatenate([imgs[:8], imgs[:8]])
+        i16.block_until_ready()
         t16 = np.concatenate([np.asarray(targets[:8])] * 2)
         k16 = np.concatenate([keys[:8], keys[:8]])
         g16 = lambda i: BT.batch_attribution("cnn", "gig", bundle,
@@ -262,6 +266,12 @@ def bench_resnet(extras):
         g16(0)
         mrow("resnet50_guided_ig50_batch16_attr_per_sec",
              lambda: _host_rate(g16, 2) * 16)
+        g16d = lambda i: BT.batch_attribution("cnn", "gig", bundle, i16,
+                                              i16, t16, k16,
+                                              as_numpy=False)
+        g16d(0).block_until_ready()
+        mrow("resnet50_guided_ig50_batch16_device_attr_per_sec",
+             lambda: _blocked(g16d, 2) * 16)
 
     if not budget_ok("agi_and_rest"):
         return rate
@@ -270,12 +280,17 @@ def bench_resnet(extras):
     a1 = lambda i: agi(bundle, imgs01[i % 8])
     a1(0)
     mrow("resnet50_agi_attr_per_sec", lambda: _host_rate(a1, 4))
-    ab = lambda i: BT.batch_attribution("cnn", "agi", bundle,
-                                        np.asarray(imgs01),
-                                        np.asarray(imgs01),
-                                        np.asarray(targets), keys)
+    # device-resident inputs (see gig note above)
+    ab = lambda i: BT.batch_attribution("cnn", "agi", bundle, imgs01,
+                                        imgs01, np.asarray(targets), keys)
     ab(0)
     mrow("resnet50_agi_batch8_attr_per_sec", lambda: _host_rate(ab, 3) * 8)
+    abd = lambda i: BT.batch_attribution("cnn", "agi", bundle, imgs01,
+                                         imgs01, np.asarray(targets), keys,
+                                         as_numpy=False)
+    abd(0).block_until_ready()
+    mrow("resnet50_agi_batch8_device_attr_per_sec",
+         lambda: _blocked(abd, 3) * 8)
 
     if not budget_ok("guided_family"):
         return rate
@@ -364,6 +379,17 @@ def _explainer_batch_rows(BT, prefix, family, name, bundle, imgs, targets,
                 row(metric, "batch_attribution returned None", "error")
                 continue
             mrow(metric, lambda: _host_rate(f, 2) * B)
+            if dt is not None:
+                # device-resident rate (as_numpy=False): the map download
+                # is 70-90% of the e2e time on the dev tunnel (BASELINE.md
+                # "CLIP explainer batch decomposition") — this row tracks
+                # the COMPUTE, immune to tunnel bandwidth drift
+                fd = lambda i: BT.batch_attribution(
+                    family, name, bundle, xs, xs, ts, ks, extras=ex,
+                    dtype=dt, as_numpy=False)
+                fd(0).block_until_ready()
+                mrow(metric.replace("_attr_per_sec", "_device_attr_per_sec"),
+                     lambda: _blocked(fd, 2) * B)
         except Exception as e:
             row(metric, f"{type(e).__name__}: {e}", "error")
 

@@ -236,7 +236,7 @@ def sg_batch(bundle, xs, targets, keys, steps=50, samples=25,
 # ---------------------------------------------------------------------------
 
 def agi_batch(bundle, trans_imgs, epsilon=0.05, topk=1, max_iter=20,
-              dtype=None):
+              dtype=None, as_numpy=True):
     """Driver config: attack classes range(0, 999, 1000//topk); percentile
     [80, 99] clip per image.  trans_imgs: [B, H, W, 3] in [0, 1].
 
@@ -265,7 +265,10 @@ def agi_batch(bundle, trans_imgs, epsilon=0.05, topk=1, max_iter=20,
     # percentile post stays on device (downloading the [B, H, W, 3] raw
     # deltas was 3x the bytes of the final maps at ~8 MB/s tunnel BW)
     from .agi import _agi_post
-    return np.abs(np.asarray(_agi_post(total.astype(jnp.float32))))
+    post = _agi_post(total.astype(jnp.float32))
+    if not as_numpy:
+        return jnp.abs(post)
+    return np.abs(np.asarray(post))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
@@ -561,13 +564,20 @@ def has_batch_impl(family: str, name: str) -> bool:
 
 def batch_attribution(family, name, bundle, xs, trans_imgs, targets, keys,
                       extras=None, img_hw=224, steps=50, dtype=None,
-                      opts=None):
+                      opts=None, as_numpy=True):
     """[B, H, W] final saliencies in one (or a few) fused dispatches.
 
     Returns None when the method has no batched implementation — the caller
     loops the single-image path.  ``extras`` (CLIP): {"txt_emb": [B, E],
     "text_tokens": [B, L]} stacked per-image rows.  ``opts`` overrides the
     production method constants (_DEFAULT_OPTS) for small-shape tests.
+
+    ``as_numpy=False`` (generic jit(vmap) adapter path only) returns the
+    device array instead of downloading: the r5 clip_cost_probe measured
+    the [B, 224, 224] map download as 70-90% of the e2e batch time on the
+    dev tunnel (~25 MB/s device->host) while device compute is 8-15x
+    faster — callers that feed the maps straight back to device work (the
+    metric battery) can skip the round trip.
     """
     xs = jnp.asarray(xs)
     targets = np.asarray(targets)
@@ -595,7 +605,8 @@ def batch_attribution(family, name, bundle, xs, trans_imgs, targets, keys,
                                        jnp.asarray(keys), steps,
                                        dtype=dtype))
         if name == "agi":
-            return agi_batch(bundle, trans_imgs, dtype=dtype)
+            return agi_batch(bundle, trans_imgs, dtype=dtype,
+                             as_numpy=as_numpy)
         if name == "lime":
             from .lime import lime_batch
             # registry parity: model on the UNNORMALIZED image, mask * 3.0
@@ -644,4 +655,6 @@ def batch_attribution(family, name, bundle, xs, trans_imgs, targets, keys,
             extra = extra.astype(dtype)
     out = fn(params, xs, jnp.asarray(targets, jnp.int32),
              jnp.asarray(keys), extra)
+    if not as_numpy:
+        return out.astype(jnp.float32) if out.dtype != jnp.float32 else out
     return np.asarray(out).astype(np.float32)
