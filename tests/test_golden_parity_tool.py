@@ -70,9 +70,19 @@ def test_golden_parity_vit_twin(ckpt_dir, tmp_path):
 
 
 def test_golden_parity_missing_checkpoint_is_skipped(ckpt_dir, tmp_path):
-    """A model without a checkpoint is reported as skipped, not a crash,
-    and the run stays ok (no verdicts, no failures)."""
+    """A model without a checkpoint is reported as skipped, not a crash —
+    but a run where EVERY model was skipped verified nothing and must not
+    report success (ADVICE r4)."""
     out = str(tmp_path / "report_none")
     res = _run(["--checkpoints", str(ckpt_dir), "--models", "R101",
                 "--synthetic", "1", "--steps", "4", "--out", out])
-    assert res["ok"] and res["summary"] == {}
+    assert res["summary"] == {} and not res["ok"]
+
+
+def test_golden_parity_partial_skip_stays_ok(ckpt_dir, tmp_path):
+    """One verified model + one skipped model: per-model skip is non-fatal."""
+    out = str(tmp_path / "report_partial")
+    res = _run(["--checkpoints", str(ckpt_dir), "--models", "TINY_R,R101",
+                "--methods", "ig", "--synthetic", "1", "--steps", "4",
+                "--out", out])
+    assert res["ok"] and list(res["summary"]) == ["TINY_R/ig"]

@@ -174,18 +174,22 @@ def test_two_process_sweep_and_sharded_driver(tmp_path):
             # (wrong stripe, wrong normalization) would be off by O(0.1).
             assert abs(float(got[k]) - float(want[k])) < 1e-4, (attr, k)
 
-    # (b) sharded driver: BOTH processes' CSVs equal the solo run's —
-    # the allreduce made the partial sums global before the write
+    # (b) sharded driver: process 0's CSV equals the solo run's — the
+    # allreduce made the partial sums global before the write.  Only
+    # process 0 writes (a shared output_dir would otherwise see concurrent
+    # open('w') on one path); process 1 must NOT have produced a CSV.
     want = _read_csv(os.path.join(solo_pert, "TINY_CNN",
                                   "grad_5_images.csv"))
-    for pid in (0, 1):
-        got = _read_csv(os.path.join(str(tmp_path / f"pert_p{pid}"),
-                                     "TINY_CNN", "grad_5_images.csv"))
-        for k in want:
-            if k in ("Attr Avg Runtime", "Total Runtime"):
-                continue
-            assert abs(float(got[k]) - float(want[k])) < 1e-4, (pid, k)
-    # and the returned means agree with the solo means
+    got = _read_csv(os.path.join(str(tmp_path / "pert_p0"),
+                                 "TINY_CNN", "grad_5_images.csv"))
+    for k in want:
+        if k in ("Attr Avg Runtime", "Total Runtime"):
+            continue
+        assert abs(float(got[k]) - float(want[k])) < 1e-4, k
+    assert not os.path.exists(os.path.join(
+        str(tmp_path / "pert_p1"), "TINY_CNN", "grad_5_images.csv"))
+    # but BOTH processes' returned means agree with the solo means — the
+    # in-memory result is global everywhere even though only p0 writes
     for k, v in solo_means.items():
         assert abs(outs[0]["means"][k] - v) < 1e-4, k
         assert abs(outs[1]["means"][k] - v) < 1e-4, k

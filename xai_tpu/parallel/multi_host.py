@@ -83,12 +83,25 @@ def allreduce_sums(scores: dict, extra: float = 0.0):
     from jax.experimental import multihost_utils
 
     # agree on the key set: host 0's keys win; a host with extra/missing
-    # keys would desynchronize the fixed-size gather below
-    keys = sorted(scores)
+    # keys would desynchronize the fixed-size gather below.  The buffer is
+    # fixed-size so broadcast_one_to_all sees one shape on every host — a
+    # payload over that size would silently become a different shape
+    # (ljust does not truncate), so it is a hard error everywhere.
+    payload = ",".join(sorted(scores)).encode()
+    if len(payload) > 4096:
+        raise ValueError(
+            f"allreduce_sums key set is {len(payload)} bytes joined; the "
+            f"fixed broadcast buffer holds 4096")
     keys = multihost_utils.broadcast_one_to_all(
-        np.frombuffer(",".join(keys).encode().ljust(4096), np.uint8))
+        np.frombuffer(payload.ljust(4096), np.uint8))
     keys = bytes(np.asarray(keys)).decode().rstrip("\x00 ").split(",")
     keys = [k for k in keys if k]
+    stray = set(scores) - set(keys)
+    if stray:
+        raise ValueError(
+            f"host {jax.process_index()} has score keys absent on host 0 "
+            f"(would be silently dropped from the global sums): "
+            f"{sorted(stray)}")
     local = jnp.asarray([float(scores.get(k, 0.0)) for k in keys]
                         + [float(extra)])
     gathered = multihost_utils.process_allgather(local)

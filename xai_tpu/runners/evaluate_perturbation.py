@@ -226,11 +226,15 @@ def evaluate_perturbation(args) -> dict:
     if maps_store is not None:
         maps_store.close()
     if shard:
-        # combine per-process score sums; every process then writes the
-        # identical CSV (runtimes stay per-process — they ARE per-process)
+        # combine per-process score sums; attribution seconds are globally
+        # summed too (the CSV's Attr-Avg-Runtime means "seconds of
+        # attribution work per image", fleet-wide)
         from ..parallel.multi_host import allreduce_sums
         result, attr_time = allreduce_sums(result, attr_time)
-    if images_used:
+    # under --shard_images only process 0 writes: the content is identical
+    # on every process after the allreduce, but concurrent open('w')+write
+    # to one path on a shared filesystem can tear the file
+    if images_used and (not shard or jax.process_index() == 0):
         folder = os.path.join(args.output_dir, args.model)
         write_result_csv(folder, f"{args.attr_func}_{args.image_count}_images",
                          result, images_used, attr_time, total_time)

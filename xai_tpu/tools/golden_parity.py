@@ -534,6 +534,14 @@ def run_golden_parity(args) -> dict:
 
     # ---- artifacts -------------------------------------------------------
     ok = True
+    if not summary and models:
+        # every requested model was skipped (typo'd --checkpoints, unknown
+        # names): a "success" here would report verification that never
+        # happened.  Per-model skips stay non-fatal when at least one model
+        # produced verdicts.
+        print("NOTHING-VERIFIED: all requested models were skipped "
+              f"(models={models}, checkpoints={args.checkpoints!r})")
+        ok = False
     lines = ["# Golden parity report (xai_tpu.tools.golden_parity)", "",
              "| model | method | images | max rel-L∞ | tol | min ρ | "
              "min-ρ tol | verdict |", "|---|---|---|---|---|---|---|---|"]
