@@ -103,7 +103,25 @@ out_dir = os.path.join(base, f"pert_p{pid}")
 means = evaluate_perturbation(build_parser().parse_args([
     "--model", "TINY_CNN", "--attr_func", "grad", "--image_count", "5",
     "--synthetic", "5", "--shard_images", "--output_dir", out_dir]))
-print("RESULT " + json.dumps({"pid": pid, "means": means}), flush=True)
+
+# (c) seg driver with image striping + EXACT int64-counter allgather
+from xai_tpu.runners.evaluate_imagenet_seg import (
+    build_parser as seg_parser, evaluate_imagenet_seg)
+seg = evaluate_imagenet_seg(seg_parser().parse_args([
+    "--model", "TINY_CNN", "--attr_func", "grad", "--image_count", "4",
+    "--synthetic", "4", "--shard_images",
+    "--output_dir", os.path.join(base, f"seg_p{pid}")]))
+
+# (d) sanity driver with image striping + similarity-sum allreduce
+from xai_tpu.runners.evaluate_sanity import (
+    build_parser as san_parser, evaluate_sanity)
+san = evaluate_sanity(san_parser().parse_args([
+    "--model", "TINY_CNN", "--attr_func", "grad", "--image_count", "4",
+    "--synthetic", "4", "--shard_images",
+    "--output_dir", os.path.join(base, f"san_p{pid}")]))
+
+print("RESULT " + json.dumps({"pid": pid, "means": means, "seg": seg,
+                              "san": san}), flush=True)
 """
 
 
@@ -193,3 +211,53 @@ def test_two_process_sweep_and_sharded_driver(tmp_path):
     for k, v in solo_means.items():
         assert abs(outs[0]["means"][k] - v) < 1e-4, k
         assert abs(outs[1]["means"][k] - v) < 1e-4, k
+
+    # (c) sharded seg driver: p0's TXT equals the solo run's (VERDICT r4
+    # #7); the int64 counters crossed processes exactly, so only the
+    # AP/F1 float-mean order can wiggle the last ulp
+    from xai_tpu.runners.evaluate_imagenet_seg import (
+        build_parser as seg_parser, evaluate_imagenet_seg)
+    solo_seg = evaluate_imagenet_seg(seg_parser().parse_args([
+        "--model", "TINY_CNN", "--attr_func", "grad", "--image_count", "4",
+        "--synthetic", "4",
+        "--output_dir", str(tmp_path / "seg_solo")]))
+
+    def _read_txt(path):
+        import re
+        with open(path) as f:
+            return [float(m) for m in re.findall(r"[-\d.]+(?=%?\n)",
+                                                 f.read())]
+
+    got_txt = _read_txt(os.path.join(str(tmp_path / "seg_p0"), "TINY_CNN",
+                                     "grad_4_images"))
+    want_txt = _read_txt(os.path.join(str(tmp_path / "seg_solo"),
+                                      "TINY_CNN", "grad_4_images"))
+    assert len(got_txt) == len(want_txt) == 4
+    for g, w in zip(got_txt, want_txt):
+        assert abs(g - w) < 1e-3, (got_txt, want_txt)
+    assert not os.path.exists(os.path.join(
+        str(tmp_path / "seg_p1"), "TINY_CNN", "grad_4_images"))
+    for k, v in solo_seg.items():
+        assert abs(outs[0]["seg"][k] - v) < 1e-4, k
+        assert abs(outs[1]["seg"][k] - v) < 1e-4, k
+
+    # (d) sharded sanity driver: p0's CSV equals the solo run's
+    from xai_tpu.runners.evaluate_sanity import (
+        build_parser as san_parser, evaluate_sanity)
+    solo_san = evaluate_sanity(san_parser().parse_args([
+        "--model", "TINY_CNN", "--attr_func", "grad", "--image_count", "4",
+        "--synthetic", "4",
+        "--output_dir", str(tmp_path / "san_solo")]))
+    got = _read_csv(os.path.join(str(tmp_path / "san_p0"), "TINY_CNN",
+                                 "grad_4_images.csv"))
+    want = _read_csv(os.path.join(str(tmp_path / "san_solo"), "TINY_CNN",
+                                  "grad_4_images.csv"))
+    for k in want:
+        if k == "Total Runtime":
+            continue
+        assert abs(float(got[k]) - float(want[k])) < 1e-4, k
+    assert not os.path.exists(os.path.join(
+        str(tmp_path / "san_p1"), "TINY_CNN", "grad_4_images.csv"))
+    for k, v in solo_san.items():
+        assert abs(outs[0]["san"][k] - v) < 1e-4, k
+        assert abs(outs[1]["san"][k] - v) < 1e-4, k

@@ -110,6 +110,48 @@ def allreduce_sums(scores: dict, extra: float = 0.0):
             float(total[-1]))
 
 
+_GATHER_SEQ = [0]
+
+
+def allgather_obj(obj, name: str = "xai_gather", timeout_s: float = 1800.0):
+    """Exchange ONE picklable object per process through the coordination
+    service KV store; every process returns the per-process list ordered by
+    process index.
+
+    EXACT — no device collective, no dtype cast: the seg driver's int64
+    pixel/intersection counters and its variable-length per-image AP/F1
+    lists cannot ride the fixed-shape f32 device gather used by
+    :func:`allreduce_sums` (JAX's default x64-disabled mode would silently
+    downcast int64, and the list lengths differ per process).  Payloads are
+    tiny (hundreds of bytes of counters), so a KV-store string round-trip
+    is the right tool.  Like :func:`barrier`, all processes must call this
+    the same number of times — the sequence counter keys each exchange."""
+    import base64
+    import pickle
+
+    import jax
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        raise RuntimeError("allgather_obj requires jax.distributed")
+    _GATHER_SEQ[0] += 1
+    tag = f"{name}_{_GATHER_SEQ[0]}"
+    me = jax.process_index()
+    client.key_value_set(f"{tag}/{me}",
+                         base64.b64encode(pickle.dumps(obj)).decode())
+    out = []
+    for p in range(jax.process_count()):
+        raw = client.blocking_key_value_get(f"{tag}/{p}",
+                                            timeout_in_ms=int(timeout_s
+                                                              * 1000))
+        out.append(pickle.loads(base64.b64decode(raw)))
+    return out
+
+
 def allreduce_scores(scores: dict, count: int):
     """Sum per-host (score-sums, image counts) across all hosts and return
     global means.  Uses a psum over the global device mesh."""

@@ -82,11 +82,22 @@ def evaluate_imagenet_seg(args) -> dict:
             score_one(np.asarray(sal), b["gt_mask"])
         buf.clear()
 
+    # --shard_images under jax.distributed: seg has no gates/quota, so the
+    # stripe is simply the dataset index modulo process count; the int64
+    # pixel counters + per-image AP/F1 lists are combined EXACTLY with the
+    # KV-store allgather before the TXT (reference fan-out: allSegTests.txt
+    # job-per-GPU — this distributes a SINGLE run at image granularity)
+    shard = bool(getattr(args, "shard_images", False)) \
+        and jax.process_count() > 1
+    pidx, pcount = jax.process_index(), jax.process_count()
+
     buf = []
     base_key = jax.random.PRNGKey(args.seed)
     for i, item in enumerate(ds):
         if args.image_count and i >= args.image_count:
             break
+        if shard and i % pcount != pidx:
+            continue
         x = normalize_input(item.trans_img, family)
         target = int(jnp.argmax(bundle.logits_fn(bundle.params,
                                                  x[None])[0]))
@@ -112,19 +123,43 @@ def evaluate_imagenet_seg(args) -> dict:
     if buf:
         flush(buf)
 
+    if shard:
+        # exact global accumulators: int64 sums + concatenated AP/F1 lists
+        # (mean is order-invariant; concatenation in process order keeps
+        # the float-sum order deterministic)
+        from ..parallel.multi_host import allgather_obj
+        parts = allgather_obj({"inter": total_inter, "union": total_union,
+                               "correct": int(total_correct),
+                               "label": int(total_label),
+                               "ap": total_ap, "f1": total_f1},
+                              name="seg_gather")
+        total_inter = np.sum([p["inter"] for p in parts],
+                             axis=0).astype(np.int64)
+        total_union = np.sum([p["union"] for p in parts],
+                             axis=0).astype(np.int64)
+        total_correct = np.int64(sum(p["correct"] for p in parts))
+        total_label = np.int64(sum(p["label"] for p in parts))
+        total_ap = [v for p in parts for v in p["ap"]]
+        total_f1 = [v for p in parts for v in p["f1"]]
+
     pixAcc = float(total_correct / (np.spacing(1) + total_label))
     mIoU = float((total_inter / (np.spacing(1) + total_union)).mean())
     mAp = float(np.mean(total_ap)) if total_ap else 0.0
     mF1 = float(np.mean(total_f1)) if total_f1 else 0.0
 
-    folder = os.path.join(args.output_dir, args.model)
-    os.makedirs(folder, exist_ok=True)
-    fn = os.path.join(folder, f"{args.attr_func}_{args.image_count}_images")
-    with open(fn, "w") as fh:
-        fh.write("Mean IoU over %d classes: %.4f\n" % (2, mIoU))
-        fh.write("Pixel-wise Accuracy: %2.2f%%\n" % (pixAcc * 100))
-        fh.write("Mean AP over %d classes: %.4f\n" % (2, mAp))
-        fh.write("Mean F1 over %d classes: %.4f\n" % (2, mF1))
+    # under --shard_images only process 0 writes (shared-filesystem safety,
+    # same contract as evaluate_perturbation); the returned dict is global
+    # on every process
+    if not shard or jax.process_index() == 0:
+        folder = os.path.join(args.output_dir, args.model)
+        os.makedirs(folder, exist_ok=True)
+        fn = os.path.join(folder,
+                          f"{args.attr_func}_{args.image_count}_images")
+        with open(fn, "w") as fh:
+            fh.write("Mean IoU over %d classes: %.4f\n" % (2, mIoU))
+            fh.write("Pixel-wise Accuracy: %2.2f%%\n" % (pixAcc * 100))
+            fh.write("Mean AP over %d classes: %.4f\n" % (2, mAp))
+            fh.write("Mean F1 over %d classes: %.4f\n" % (2, mF1))
     return {"pixAcc": pixAcc, "mIoU": mIoU, "mAP": mAp, "mF1": mF1}
 
 
@@ -148,6 +183,11 @@ def build_parser():
     p.add_argument("--image_batch", type=int, default=1,
                    help="fused multi-image attribution batch size "
                         "(methods with a batched implementation)")
+    p.add_argument("--shard_images", action="store_true",
+                   help="under jax.distributed: stripe the dataset over "
+                        "processes and combine the pixAcc/IoU/AP/F1 "
+                        "accumulators exactly so process 0 writes the "
+                        "same TXT as a single-process run")
     return p
 
 

@@ -126,10 +126,27 @@ def evaluate_sanity(args) -> dict:
     buf = []
     base_key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
+
+    # --shard_images under jax.distributed: every process applies the same
+    # deterministic correct-mask filter, so the kept list is equal by
+    # construction; the expensive double attribution (trained + randomized
+    # weights) runs only for this process's stripe, and the similarity sums
+    # are allreduced before the CSV (same contract as evaluate_perturbation)
+    shard = bool(getattr(args, "shard_images", False)) \
+        and jax.process_count() > 1
+    pidx, pcount = jax.process_index(), jax.process_count()
+    kept_rank = 0
+
     for item in stream:
         if images_used == args.image_count:
             break
         if correct is not None and correct[item.index] == 0:
+            continue
+        mine = (not shard) or (kept_rank % pcount == pidx)
+        kept_rank += 1
+        if not mine:
+            # counts toward the shared denominator + the loop's break
+            images_used += 1
             continue
         x = normalize_input(item.trans_img, family)
         key = jax.random.fold_in(base_key, item.index)
@@ -178,7 +195,11 @@ def evaluate_sanity(args) -> dict:
         _flush_sanity(bundle, rand_bundle, family, buf, args, totals)
 
     total_time = time.time() - t0
-    if images_used:
+    if shard:
+        from ..parallel.multi_host import allreduce_sums
+        totals, _ = allreduce_sums(totals)
+    # under --shard_images only process 0 writes (shared-filesystem safety)
+    if images_used and (not shard or jax.process_index() == 0):
         folder = os.path.join(args.output_dir, args.model)
         os.makedirs(folder, exist_ok=True)
         import csv
@@ -211,6 +232,11 @@ def build_parser():
     p.add_argument("--attr_dtype", type=str, default="f32",
                    choices=("f32", "bf16"),
                    help="attribution sweep dtype (bf16 = opt-in fast path)")
+    p.add_argument("--shard_images", action="store_true",
+                   help="under jax.distributed: stripe the kept images "
+                        "over processes and allreduce the SSIM/SPR/HOG "
+                        "sums so process 0 writes the same CSV as a "
+                        "single-process run")
     return p
 
 
