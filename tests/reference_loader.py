@@ -396,6 +396,43 @@ def load_mas_calibrate():
     return mod
 
 
+def load_lime():
+    """The vendored LIME package (lime_image + lime_base) as a package for
+    its relative imports.  skimage stays stubbed — callers must pass
+    segmentation_fn (the golden shared-segment protocol does)."""
+    name = "_ref_lime"
+    if name in _cache:
+        return _cache[name]
+    _install_stubs()
+    import importlib
+    pkg = types.ModuleType(name)
+    pkg.__path__ = [f"{REF}/util/attribution_methods/lime"]
+    sys.modules[name] = pkg
+    mod = importlib.import_module(f"{name}.lime_image")
+    _cache[name] = mod
+    return mod
+
+
+def load_tis(kmeans_cls=None):
+    """TIS.py with an injectable KMeans class (the shared-centroid
+    protocol, tests/test_reference_parity_tis.py).  The isinstance ladders
+    in TIS need torchvision/timm VisionTransformer type symbols."""
+    _install_stubs()
+    import torch.nn as nn
+    tvm = sys.modules["torchvision.models"]
+    if not hasattr(tvm, "VisionTransformer"):
+        tvm.VisionTransformer = type("VisionTransformer", (nn.Module,), {})
+    if "timm.models.vision_transformer" not in sys.modules:
+        vt = types.ModuleType("timm.models.vision_transformer")
+        vt.VisionTransformer = type("TimmVIT", (nn.Module,), {})
+        sys.modules["timm.models.vision_transformer"] = vt
+        sys.modules["timm.models"].vision_transformer = vt
+        sys.modules["timm.models"].__path__ = []
+    if kmeans_cls is not None:
+        sys.modules["fast_pytorch_kmeans"].KMeans = kmeans_cls
+    return load_ref("util/attribution_methods/TIS.py", "_ref_tis")
+
+
 def load_vit_cx():
     """The reference's ViT-CX package (clustered-mask causal scoring) —
     relative imports (.get_feature_map, .causal_score) need a package."""

@@ -41,6 +41,15 @@ def ckpt_dir(tmp_path_factory):
         vm.head.weight.normal_(0, 0.2)
         vm.head.bias.normal_(0, 0.2)
     torch.save(vm.state_dict(), d / "TINY_V.pth")
+
+    # openai-format CLIP twin through the Game_MM fork's own class (same
+    # shape-inference path _build_tiny_c uses); saved HALF like the real
+    # openai checkpoints so the fp16-checkpoint load path is exercised
+    mm = rl.load_mm_clip_model()
+    torch.manual_seed(0)
+    cm = mm.CLIP(16, 32, 6, 64, 8, 12, 50, 64, 1, 2)
+    torch.save({k: v.half() for k, v in cm.state_dict().items()},
+               d / "TINY_C.pth")
     return d
 
 
@@ -67,6 +76,52 @@ def test_golden_parity_vit_twin(ckpt_dir, tmp_path):
     rows = [json.loads(l) for l in open(out + ".jsonl")]
     assert len(rows) == 4 and all("error" not in r for r in rows)
     assert all(r["spearman"] > 0.99 for r in rows), rows
+
+
+def test_golden_parity_cnn_registry_surface(ckpt_dir, tmp_path):
+    """The VERDICT-r4 #3 extension: reference-in-repo rows verify, captum
+    rows surface as documented SKIPs on captum-less machines."""
+    out = str(tmp_path / "report_cnn2")
+    res = _run(["--checkpoints", str(ckpt_dir), "--models", "TINY_R",
+                "--methods", "idg,sg,gig,xrai,lime,gc", "--synthetic", "1",
+                "--steps", "6", "--out", out])
+    assert res["ok"], res["summary"]
+    rows = [json.loads(l) for l in open(out + ".jsonl")]
+    by = {r["method"]: r for r in rows}
+    assert "error" not in by["idg"] and "error" not in by["xrai"]
+    assert by["lime"]["rel_linf"] <= 2e-3
+    try:
+        import captum  # noqa: F401
+        assert "rel_linf" in by["gc"]
+    except ImportError:
+        assert "captum" in by["gc"]["skip"]
+
+
+def test_golden_parity_vit_method_families(ckpt_dir, tmp_path):
+    """TIS/ViT-CX/MDA/calibrate/mac/InFlow golden rows on the tiny twin
+    (shared-centroid / shared-noise / shared-segment protocols)."""
+    out = str(tmp_path / "report_vit2")
+    res = _run(["--checkpoints", str(ckpt_dir), "--models", "TINY_V",
+                "--methods", "TIS,VIT_CX,MDA,calibrate,mac,InFlow",
+                "--synthetic", "1", "--steps", "5", "--out", out])
+    assert res["ok"], res["summary"]
+    rows = [json.loads(l) for l in open(out + ".jsonl")]
+    assert len(rows) == 6 and all("error" not in r for r in rows)
+
+
+def test_golden_parity_clip_family(ckpt_dir, tmp_path):
+    """The full CLIP registry surface on the fp16 tiny twin; m2ib is the
+    one documented SKIP (HF-format model, PARITY.md)."""
+    out = str(tmp_path / "report_clip")
+    res = _run(["--checkpoints", str(ckpt_dir), "--models", "TINY_C",
+                "--synthetic", "1", "--steps", "5", "--out", out])
+    assert res["ok"], res["summary"]
+    rows = [json.loads(l) for l in open(out + ".jsonl")]
+    assert all("error" not in r for r in rows)
+    skips = {r["method"] for r in rows if "skip" in r}
+    assert skips == {"m2ib"}
+    verdicts = {r["method"] for r in rows if "rel_linf" in r}
+    assert len(verdicts) == 11, verdicts
 
 
 def test_golden_parity_missing_checkpoint_is_skipped(ckpt_dir, tmp_path):

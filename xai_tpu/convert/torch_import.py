@@ -25,7 +25,12 @@ BN_EPS = 1e-5
 def _np(t):
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
-    return np.asarray(t)
+    t = np.asarray(t)
+    # checkpoints may carry fp16 (openai CLIP stores half); our master
+    # copy is f32 — compute dtype is a runtime choice (attr_dtype)
+    if np.issubdtype(t.dtype, np.floating) and t.dtype != np.float32:
+        t = t.astype(np.float32)
+    return t
 
 
 def _conv(w):

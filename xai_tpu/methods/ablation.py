@@ -26,11 +26,16 @@ def patch_mask(img_hw: int = 224, num_patches: int = 14) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
-def _gradient_shap(apply_fn, params, x, baselines, target, n_samples, key):
+def _gradient_shap(apply_fn, params, x, baselines, target, n_samples, key,
+                   alphas=None, base_idx=None):
     nb = baselines.shape[0]
     k1, k2 = jax.random.split(key)
-    b_idx = jax.random.randint(k1, (n_samples,), 0, nb)
-    alphas = jax.random.uniform(k2, (n_samples,))
+    b_idx = (jax.random.randint(k1, (n_samples,), 0, nb)
+             if base_idx is None else jnp.asarray(base_idx))
+    if alphas is None:
+        alphas = jax.random.uniform(k2, (n_samples,))
+    else:
+        alphas = jnp.asarray(alphas)
     base = baselines[b_idx]
     pts = base + alphas.reshape(-1, 1, 1, 1) * (x[None] - base)
 
@@ -42,15 +47,24 @@ def _gradient_shap(apply_fn, params, x, baselines, target, n_samples, key):
 
 
 def gradient_shap(bundle, x, target, key, baselines=None,
-                  n_samples: int = 5) -> jnp.ndarray:
+                  n_samples: int = 5, alphas=None,
+                  base_idx=None) -> jnp.ndarray:
     """captum GradientShap with a single random-normal baseline
-    (evaluatePerturbation.py:164-167)."""
+    (evaluatePerturbation.py:164-167).
+
+    ``alphas``/``base_idx`` inject captum's internal rand draws for the
+    golden-parity protocol (captum gradient_shap.py samples one uniform
+    rand_coefficient per sample)."""
     x = jnp.asarray(x)
     if baselines is None:
         key, bk = jax.random.split(key)
         baselines = jax.random.normal(bk, (1,) + x.shape, x.dtype)
+    else:
+        baselines = jnp.asarray(baselines)
+    if alphas is not None:
+        n_samples = int(np.shape(alphas)[0])
     return _gradient_shap(bundle.apply, bundle.params, x, baselines, target,
-                          n_samples, key)
+                          n_samples, key, alphas=alphas, base_idx=base_idx)
 
 
 # ---------------------------------------------------------------------------
@@ -151,15 +165,21 @@ def _occ_jit(apply_fn, params, x, target, hw, n_pos, window, stride, chunk,
 
 def shapley_sampling(bundle, x, target, key, num_patches: int = 14,
                      n_samples: int = 25, baseline: float = 0.0,
-                     chunk: int = 49) -> jnp.ndarray:
+                     chunk: int = 49, perms=None) -> jnp.ndarray:
     """captum ShapleyValueSampling: random permutations of patch groups;
-    marginal contribution of each group when added to the coalition."""
+    marginal contribution of each group when added to the coalition.
+
+    ``perms`` ([n_samples, num_patches**2] int) injects captum's internal
+    torch.randperm draws for the golden-parity protocol."""
     x = jnp.asarray(x)
     hw = x.shape[0]
     mask = patch_mask(hw, num_patches)
     n = num_patches ** 2
-    perms = jax.vmap(lambda k: jax.random.permutation(k, n))(
-        jax.random.split(key, n_samples))
+    if perms is None:
+        perms = jax.vmap(lambda k: jax.random.permutation(k, n))(
+            jax.random.split(key, n_samples))
+    else:
+        perms = jnp.asarray(perms)
     base = jnp.broadcast_to(jnp.asarray(baseline, x.dtype), x.shape)
     return _shapley_jit(bundle.apply, bundle.params, x, mask, target, perms,
                         n, chunk, base)

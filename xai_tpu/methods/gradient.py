@@ -387,7 +387,8 @@ def idgi(bundle, x, target, steps: int = 50, baseline=0.0,
 def smooth_grad(bundle, x, target, key, attribution: str = "IG",
                 steps: int = 50, baseline=0.0, samples: int = 25,
                 sigma_spread: float = 0.15,
-                reference_quirk: bool = True, dtype=None) -> jnp.ndarray:
+                reference_quirk: bool = True, dtype=None,
+                noises=None) -> jnp.ndarray:
     """Gaussian-noise ensemble around IG/LIG/IDG; sigma = spread*(max-min).
 
     TPU path: IG and LIG fold the noise-sample axis into the interpolation
@@ -403,8 +404,15 @@ def smooth_grad(bundle, x, target, key, attribution: str = "IG",
     intended all-channel mean.
     """
     x = jnp.asarray(x)
-    stdev = sigma_spread * (x.max() - x.min())
-    noises = stdev * jax.random.normal(key, (samples,) + x.shape, x.dtype)
+    if noises is None:
+        stdev = sigma_spread * (x.max() - x.min())
+        noises = stdev * jax.random.normal(key, (samples,) + x.shape,
+                                           x.dtype)
+    else:
+        # injected ABSOLUTE noise samples (golden-parity protocol: the
+        # reference's torch.normal draws, saliencyMethods.py:191)
+        noises = jnp.asarray(noises, x.dtype)
+        samples = int(noises.shape[0])
 
     if attribution in ("IG", "LIG"):
         alpha_star = 1.0 if attribution == "IG" else 0.9

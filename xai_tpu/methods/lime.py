@@ -45,13 +45,18 @@ _QS_MAXDIST = 200.0
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(0, 4, 5, 6, 7, 8, 9, 10, 11))
+                   static_argnums=(0, 4, 5, 6, 7, 8, 9, 10, 11, 16))
 def _lime_fused_jit(apply_fn, params, imgs, keys_u32, normalize_fn,
                     S, chunk, num_features, w, wd, pack, fwd_dtype,
-                    hide_color, kernel_width, alpha):
+                    hide_color, kernel_width, alpha, rows_inj=None,
+                    return_coef=False):
     """imgs: [B, H, W, 3] f32 in [0, 1]; keys_u32: [B, 2] uint32 threefry
     key data.  Returns bit-packed [B, H, W//32] uint32 masks (``pack``)
-    or [B, H, W] f32 masks."""
+    or [B, H, W] f32 masks.  ``rows_inj`` ([B, S, F] int8) injects the
+    binary sample matrix (golden-parity protocol: the reference vendored
+    lime's random_state.randint draws, lime_image.py data_labels).
+    ``return_coef`` additionally returns the per-segment signed ridge
+    coefficients [B, F] (the quantity the mask selection derives from)."""
     from ..ops.quickshift_jax import (_parents_batch,
                                       parents_to_labels_batch)
 
@@ -75,7 +80,8 @@ def _lime_fused_jit(apply_fn, params, imgs, keys_u32, normalize_fn,
         r = r * colok
         return r.at[0].set(colok)
 
-    rows = jax.vmap(sample)(keys_u32, counts)               # [B, S, F]
+    rows = (jax.vmap(sample)(keys_u32, counts) if rows_inj is None
+            else jnp.asarray(rows_inj, jnp.int8))           # [B, S, F]
 
     # 3. chunked scoring sweep: each step BUILDS its masked images on
     # device and runs the softmax forward.  The per-pixel on/off plane is
@@ -139,11 +145,12 @@ def _lime_fused_jit(apply_fn, params, imgs, keys_u32, normalize_fn,
     mask = jnp.take_along_axis(chosen, labels, axis=1).reshape(B, H, W)
 
     if not pack:
-        return mask
+        return (mask, coef) if return_coef else mask
     bits = mask.reshape(B, H, W // 32, 32).astype(jnp.uint32)
     weights = jnp.asarray(
         np.uint32(1) << np.arange(32, dtype=np.uint32), jnp.uint32)
-    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+    packed = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+    return (packed, coef) if return_coef else packed
 
 
 def _key_words(key) -> np.ndarray:
@@ -154,13 +161,35 @@ def _key_words(key) -> np.ndarray:
     return np.asarray(karr, np.uint32).ravel()[-2:]
 
 
+def lime_segments(img) -> tuple:
+    """The fused pipeline's quickshift labels, exported for the
+    golden-parity protocol (the reference run consumes the SAME
+    segmentation via segmentation_fn).  Returns ([H, W] int labels,
+    segment count), with the same F_MAX clamp the jit applies."""
+    from ..ops.quickshift_jax import _parents_batch, parents_to_labels_batch
+    imgs = jnp.asarray(np.asarray(img, np.float32))[None]
+    w = max(1, int(3.0 * _QS_KERNEL))
+    wd = min(w, int(np.ceil(_QS_MAXDIST)))
+    parents = _parents_batch(
+        imgs, w, wd, jnp.float32(_QS_RATIO),
+        jnp.float32(1.0 / (2.0 * _QS_KERNEL * _QS_KERNEL)),
+        jnp.float32(_QS_MAXDIST * _QS_MAXDIST))
+    labels, counts = parents_to_labels_batch(parents)
+    labels = jnp.minimum(labels, _F_MAX - 1)
+    H, W = imgs.shape[1:3]
+    return (np.asarray(labels[0]).reshape(H, W),
+            min(int(counts[0]), _F_MAX))
+
+
 def lime_batch(bundle, imgs, keys, num_samples: int = 1000,
                num_features: int = 5, kernel_width: float = 0.25,
                hide_color: float = 0.0, chunk: int = 64,
-               normalize_input=None, dtype=None) -> np.ndarray:
+               normalize_input=None, dtype=None, rows=None,
+               return_coef: bool = False) -> np.ndarray:
     """Cross-image batched LIME, fully on device (see module docstring).
     imgs: [B, H, W, 3] in [0, 1]; keys: B PRNG keys (any form).  Returns
-    [B, H, W] binary masks."""
+    [B, H, W] binary masks; with ``return_coef`` a (masks, [B, F] signed
+    ridge coefficient) tuple."""
     imgs = np.asarray(imgs, dtype=np.float32)
     B, H, W = imgs.shape[:3]
     # iterate `keys` directly: np.asarray on a list of new-style typed PRNG
@@ -178,22 +207,35 @@ def lime_batch(bundle, imgs, keys, num_samples: int = 1000,
     w = max(1, int(3.0 * _QS_KERNEL))
     wd = min(w, int(np.ceil(_QS_MAXDIST)))
     pack = (W % 32 == 0)
-    out = np.asarray(_lime_fused_jit(
+    if rows is not None:
+        rows = np.asarray(rows, np.int8)
+        if rows.shape[-1] < _F_MAX:       # pad the feature axis to F_MAX
+            rows = np.concatenate(
+                [rows, np.zeros(rows.shape[:-1]
+                                + (_F_MAX - rows.shape[-1],), np.int8)],
+                axis=-1)
+        num_samples = int(rows.shape[1])
+    out = _lime_fused_jit(
         bundle.apply, params, jnp.asarray(imgs), jnp.asarray(keys_u32),
         normalize_input, int(num_samples), int(chunk), int(num_features),
         w, wd, pack, fwd_dtype, float(hide_color), float(kernel_width),
-        1.0))
-    if not pack:
-        return out
-    bits = (out[..., None] >> np.arange(32, dtype=np.uint32)) & 1
-    return bits.astype(np.float32).reshape(B, H, W)
+        1.0, rows_inj=rows, return_coef=return_coef)
+    coef = None
+    if return_coef:
+        out, coef = out
+        coef = np.asarray(coef)
+    out = np.asarray(out)
+    if pack:
+        bits = (out[..., None] >> np.arange(32, dtype=np.uint32)) & 1
+        out = bits.astype(np.float32).reshape(B, H, W)
+    return (out, coef) if return_coef else out
 
 
 def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
          num_features: int = 5, kernel_width: float = 0.25,
          hide_color: float = 0.0, chunk: int = 100,
          normalize_input=None, dtype=None,
-         segmenter: str = "device") -> np.ndarray:
+         segmenter: str = "device", rows=None) -> np.ndarray:
     """img: [H, W, 3] float in [0, 1] (the driver feeds the *unnormalized*
     trans_img; the reference feeds raw [0,1] images straight to the model —
     ``normalize_input`` is applied if the bundle expects normalized input).
@@ -205,7 +247,9 @@ def lime(bundle, img, key, num_samples: int = 1000, top_labels: int = 5,
                       num_samples=num_samples, num_features=num_features,
                       kernel_width=kernel_width, hide_color=hide_color,
                       chunk=chunk, normalize_input=normalize_input,
-                      dtype=dtype)[0]
+                      dtype=dtype,
+                      rows=None if rows is None
+                      else np.asarray(rows)[None])[0]
 
 
 def _weighted_ridge(X, y, w, alpha=1.0):

@@ -354,15 +354,18 @@ def find_deletion_patches(bundle, x, segments, prior_segmented,
 
 
 def mda(bundle, trans_img, x, prior_saliency, patch_count, blur_fn,
-        target=None, ordered: bool = False, dtype=None):
+        target=None, ordered: bool = False, dtype=None, segments=None):
     """The MDA driver (MDAFunctions.py:600-625).
 
     trans_img: [H, W, 3] in [0,1] (for SLIC); x: normalized input [H, W, C];
     prior_saliency: [H, W, 3] (e.g. bi_attn broadcast).  Returns the kappa=0
-    map [H, W] (MGA_g_0 channel-collapsed)."""
+    map [H, W] (MGA_g_0 channel-collapsed).  ``segments`` injects a
+    precomputed superpixel label map (golden-parity shared-segment
+    protocol)."""
     H = np.asarray(trans_img).shape[0]
-    segments = slic(np.asarray(trans_img, np.float32), patch_count,
-                    compactness=10000.0)
+    if segments is None:
+        segments = slic(np.asarray(trans_img, np.float32), patch_count,
+                        compactness=10000.0)
 
     # prior -> patch-resolution map: bilinear downsize to sqrt(patches),
     # NEAREST_EXACT upsize back (MDAFunctions.py:607-609)

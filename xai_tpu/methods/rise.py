@@ -36,13 +36,19 @@ def generate_masks(key, n_masks: int = 2000, s: int = 8, p1: float = 0.5,
     return jax.vmap(crop)(big, offs)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
-def _rise_scores(apply_fn, params, x, masks, target, chunk):
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def _rise_scores(apply_fn, params, x, masks, target, chunk,
+                 raw_scores=False):
     n = masks.shape[0]
 
     def one_chunk(mb):
         xb = x[None] * mb[..., None]
-        return jax.nn.softmax(apply_fn(params, xb), axis=-1)[:, target]
+        out = apply_fn(params, xb)
+        if raw_scores:
+            # reference CLIP weighting: the raw caption cosine, no softmax
+            # (generate_emap.py:95-99)
+            return out[:, target]
+        return jax.nn.softmax(out, axis=-1)[:, target]
 
     scores = jax.lax.map(one_chunk,
                          masks.reshape((n // chunk, chunk) +
@@ -51,26 +57,35 @@ def _rise_scores(apply_fn, params, x, masks, target, chunk):
 
 
 def rise(bundle, x, target, key, n_masks: int = 2000, s: int = 8,
-         p1: float = 0.5, chunk: int = 50, dtype=None) -> jnp.ndarray:
+         p1: float = 0.5, chunk: int = 50, dtype=None,
+         masks=None, raw_scores: bool = False) -> jnp.ndarray:
     """Response-weighted mask sum / (N * p1) (generate_emap.py:85-104).
     Returns [H, W].
 
     ``dtype=bf16`` runs the N masked scoring forwards — the entire cost at
     N=2000 — in bf16; mask generation and the final response-weighted mask
-    sum stay f32 (the weighting einsum is ~N*H*W FLOPs, irrelevant)."""
+    sum stay f32 (the weighting einsum is ~N*H*W FLOPs, irrelevant).
+    ``masks`` ([N, H, W]) injects a shared mask set (golden-parity
+    protocol: both sides score identical masks)."""
     x = jnp.asarray(x)
     hw = x.shape[0]
+    if masks is not None:
+        masks = jnp.asarray(masks, jnp.float32)
+        n_masks = int(masks.shape[0])
     while n_masks % chunk:
         chunk -= 1
-    masks = generate_masks(key, n_masks, s, p1, hw)
+    if masks is None:
+        masks = generate_masks(key, n_masks, s, p1, hw)
     params = bundle.params
     if dtype is not None:
         from .gradient import _cast_params_cached
         params = _cast_params_cached(bundle, dtype)
         scores = _rise_scores(bundle.apply, params, x.astype(dtype),
-                              masks.astype(dtype), target, chunk)
+                              masks.astype(dtype), target, chunk,
+                              raw_scores)
         scores = scores.astype(jnp.float32)
     else:
-        scores = _rise_scores(bundle.apply, params, x, masks, target, chunk)
+        scores = _rise_scores(bundle.apply, params, x, masks, target, chunk,
+                              raw_scores)
     sal = jnp.einsum("n,nhw->hw", scores, masks)
     return sal / n_masks / p1

@@ -139,11 +139,14 @@ def xrai_fast(attr: np.ndarray, segs: list,
 
 
 def xrai(img_for_segments: np.ndarray,
-         base_attribution: np.ndarray) -> np.ndarray:
+         base_attribution: np.ndarray, segs=None) -> np.ndarray:
     """GetMask with precomputed base attribution (the driver's only path).
     img_for_segments: [H, W, C]; base_attribution: [H, W, C] (IG map).
     attr aggregation = max over channels (XRAIBuilder.py:262-263, 572-577).
+    ``segs`` injects precomputed segment masks (golden-parity protocol —
+    the reference GetMask accepts the same, XRAIBuilder.py:415-470).
     Returns [H, W]."""
     attr = np.asarray(base_attribution).max(axis=-1)
-    segs = get_segments(np.asarray(img_for_segments))
+    if segs is None:
+        segs = get_segments(np.asarray(img_for_segments))
     return xrai_full(attr, segs)
