@@ -88,6 +88,42 @@ def test_lime_planted_signal():
     assert mask[:6, :6].mean() > 0.5
 
 
+def test_lime_return_coef_consistent_with_mask():
+    """The return_coef output (golden-parity surface) must be the exact
+    vector the mask selection derives from: re-running the lime tail
+    (top-|coef| positive segments) on the returned coefficients must
+    reproduce the returned mask."""
+    from xai_tpu.methods.lime import lime_batch, lime_segments
+
+    W = np.zeros((HW, HW, 3), np.float32)
+    W[:6, :6] = 1.0
+
+    from xai_tpu.models.common import ModelBundle, ModelMeta
+
+    def apply(p, x):
+        s = (x * jnp.asarray(W)).sum(axis=(1, 2, 3))
+        return jnp.stack([s, -s], axis=1)
+
+    b = ModelBundle(meta=ModelMeta(name="planted", family="cnn", img_hw=HW,
+                                   num_classes=2), params=None, apply=apply)
+    img = _structured_img(HW)
+    masks, coef = lime_batch(b, img[None], [jax.random.PRNGKey(0)],
+                             num_samples=200, chunk=20, return_coef=True)
+    labels, nseg = lime_segments(img)
+    c = np.asarray(coef[0])
+    order = np.argsort(-np.abs(c))
+    keep, chosen = 0, np.zeros(len(c), bool)
+    for f in order:
+        if c[f] > 0 and keep < 5:
+            chosen[f] = True
+            keep += 1
+    assert np.array_equal(masks[0] > 0, chosen[labels])
+    # plain call (no coef) is unchanged by the flag plumbing
+    plain = lime_batch(b, img[None], [jax.random.PRNGKey(0)],
+                       num_samples=200, chunk=20)
+    assert np.array_equal(plain, masks)
+
+
 def test_xrai_greedy_ranks_planted_region():
     rs = np.random.RandomState(3)
     attr = rs.rand(32, 32) * 0.1
