@@ -120,8 +120,17 @@ san = evaluate_sanity(san_parser().parse_args([
     "--synthetic", "4", "--shard_images",
     "--output_dir", os.path.join(base, f"san_p{pid}")]))
 
+# (e) research seg driver (imagenet_seg_eval: shap/calibrate knobs) with
+# the same image striping + exact-counter allgather
+from xai_tpu.runners.imagenet_seg_eval import (
+    build_parser as ise_parser, run as ise_run)
+ise = ise_run(ise_parser().parse_args([
+    "--model", "TINY_CNN", "--method", "grad", "--image_count", "4",
+    "--synthetic", "4", "--acc_cutoff", "0", "--shard_images",
+    "--output_dir", os.path.join(base, f"ise_p{pid}")]))
+
 print("RESULT " + json.dumps({"pid": pid, "means": means, "seg": seg,
-                              "san": san}), flush=True)
+                              "san": san, "ise": ise}), flush=True)
 """
 
 
@@ -261,3 +270,24 @@ def test_two_process_sweep_and_sharded_driver(tmp_path):
     for k, v in solo_san.items():
         assert abs(outs[0]["san"][k] - v) < 1e-4, k
         assert abs(outs[1]["san"][k] - v) < 1e-4, k
+
+    # (e) sharded research seg driver: p0's TXT equals the solo run's,
+    # p1 does not write, returned dicts are global on both processes
+    from xai_tpu.runners.imagenet_seg_eval import (
+        build_parser as ise_parser, run as ise_run)
+    solo_ise = ise_run(ise_parser().parse_args([
+        "--model", "TINY_CNN", "--method", "grad", "--image_count", "4",
+        "--synthetic", "4", "--acc_cutoff", "0",
+        "--output_dir", str(tmp_path / "ise_solo")]))
+    got_txt = _read_txt(os.path.join(str(tmp_path / "ise_p0"),
+                                     "TINY_CNN_grad.txt"))
+    want_txt = _read_txt(os.path.join(str(tmp_path / "ise_solo"),
+                                      "TINY_CNN_grad.txt"))
+    assert len(got_txt) == len(want_txt) == 4
+    for g, w in zip(got_txt, want_txt):
+        assert abs(g - w) < 1e-3, (got_txt, want_txt)
+    assert not os.path.exists(os.path.join(str(tmp_path / "ise_p1"),
+                                           "TINY_CNN_grad.txt"))
+    for k, v in solo_ise.items():
+        assert abs(outs[0]["ise"][k] - v) < 1e-4, k
+        assert abs(outs[1]["ise"][k] - v) < 1e-4, k

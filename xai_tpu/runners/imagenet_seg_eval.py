@@ -107,11 +107,21 @@ def run(args) -> dict:
             score_one(np.asarray(sal), b["gt_mask"])
         buf.clear()
 
+    # --shard_images under jax.distributed: stripe the dataset index
+    # modulo process count (same contract as evaluate_imagenet_seg — the
+    # acc_cutoff skip happens per-image after the stripe, so every process
+    # sees a disjoint subset and the union equals the solo run)
+    shard = bool(getattr(args, "shard_images", False)) \
+        and jax.process_count() > 1
+    pidx, pcount = jax.process_index(), jax.process_count()
+
     buf = []
     base_key = jax.random.PRNGKey(args.seed)
     for i, item in enumerate(ds):
         if args.image_count and i >= args.image_count:
             break
+        if shard and i % pcount != pidx:
+            continue
         x = normalize_input(item.trans_img, family)
         probs = jax.nn.softmax(bundle.apply(bundle.params, x[None])[0])
         target = int(jnp.argmax(probs))
@@ -136,6 +146,26 @@ def run(args) -> dict:
     if buf:
         flush(buf)
 
+    if shard:
+        # exact global accumulators: int64 sums + concatenated AP/F1 lists
+        # (same protocol as evaluate_imagenet_seg)
+        from ..parallel.multi_host import allgather_obj
+        parts = allgather_obj({"inter": total_inter, "union": total_union,
+                               "correct": int(total_correct),
+                               "label": int(total_label),
+                               "ap": total_ap, "f1": total_f1,
+                               "skipped": skipped},
+                              name="seg_eval_gather")
+        total_inter = np.sum([p["inter"] for p in parts],
+                             axis=0).astype(np.int64)
+        total_union = np.sum([p["union"] for p in parts],
+                             axis=0).astype(np.int64)
+        total_correct = np.int64(sum(p["correct"] for p in parts))
+        total_label = np.int64(sum(p["label"] for p in parts))
+        total_ap = [v for p in parts for v in p["ap"]]
+        total_f1 = [v for p in parts for v in p["f1"]]
+        skipped = sum(p["skipped"] for p in parts)
+
     pixAcc = float(total_correct / (np.spacing(1) + total_label))
     mIoU = float((total_inter / (np.spacing(1) + total_union)).mean())
     mAp = float(np.mean(total_ap)) if total_ap else 0.0
@@ -143,13 +173,17 @@ def run(args) -> dict:
     if skipped:
         print(f"skipped {skipped} images below --acc_cutoff "
               f"{args.acc_cutoff}%")
-    os.makedirs(args.output_dir, exist_ok=True)
-    with open(os.path.join(args.output_dir,
-                           f"{args.model}_{args.method}.txt"), "w") as fh:
-        fh.write("Mean IoU over %d classes: %.4f\n" % (2, mIoU))
-        fh.write("Pixel-wise Accuracy: %2.2f%%\n" % (pixAcc * 100))
-        fh.write("Mean AP over %d classes: %.4f\n" % (2, mAp))
-        fh.write("Mean F1 over %d classes: %.4f\n" % (2, mF1))
+    # under --shard_images only process 0 writes (shared-filesystem
+    # safety); the returned dict is global on every process
+    if not shard or jax.process_index() == 0:
+        os.makedirs(args.output_dir, exist_ok=True)
+        with open(os.path.join(
+                args.output_dir,
+                f"{args.model}_{args.method}.txt"), "w") as fh:
+            fh.write("Mean IoU over %d classes: %.4f\n" % (2, mIoU))
+            fh.write("Pixel-wise Accuracy: %2.2f%%\n" % (pixAcc * 100))
+            fh.write("Mean AP over %d classes: %.4f\n" % (2, mAp))
+            fh.write("Mean F1 over %d classes: %.4f\n" % (2, mF1))
     return {"pixAcc": pixAcc, "mIoU": mIoU, "mAP": mAp, "mF1": mF1}
 
 
@@ -181,6 +215,10 @@ def build_parser():
     p.add_argument("--image_batch", type=int, default=1,
                    help="fused multi-image attribution batch size "
                         "(methods with a batched implementation)")
+    p.add_argument("--shard_images", action="store_true",
+                   help="under jax.distributed: stripe images across "
+                        "processes and combine counters exactly; only "
+                        "process 0 writes the TXT")
     return p
 
 
