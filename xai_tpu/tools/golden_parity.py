@@ -407,7 +407,11 @@ def _cnn_pair(method: str, pair: Pair, xn, x01, target: int, steps: int,
               rl, args=None) -> tuple:
     from ..methods import gradient as G
     sm = rl.load_saliency_methods()
-    chunk = max(2, steps // 2)
+    # the chunk must divide steps: the reference IG family silently
+    # returns zeros otherwise (saliencyMethods.py:14-16)
+    chunk = max(1, steps // 2)
+    if steps % chunk:
+        chunk = 1
     if method in ("ig", "lig"):
         a = 1.0 if method == "ig" else 0.9
         ref = sm.IG(_t(xn), pair.tm, steps, chunk, a, 0.0, "cpu",
@@ -474,6 +478,11 @@ def _cnn_pair_extra(method: str, pair: Pair, xn, x01, target: int,
     sm = rl.load_saliency_methods()
     tm = pair.tm
     t = _t(xn)
+    # divisible chunk (the reference IG family zeros out otherwise,
+    # saliencyMethods.py:14-16)
+    chunk = max(1, steps // 2)
+    if steps % chunk:
+        chunk = 1
     hw = pair.img_hw
     key = jax.random.PRNGKey(0)
 
@@ -498,16 +507,20 @@ def _cnn_pair_extra(method: str, pair: Pair, xn, x01, target: int,
             return out
 
         samples = getattr(args, "sg_samples", 25) if args else 25
+        # the reference smoothGrad hard-codes batch = steps/2
+        # (saliencyMethods.py:196) and its IG zeros out on odd steps —
+        # round to even on BOTH sides so the comparison stays valid
+        sg_steps = steps - (steps % 2)
         torch.normal = rec
         try:
             torch.manual_seed(0)
-            ref = sm.smoothGrad("IG", t, tm, steps, 0.0, target, "cpu",
+            ref = sm.smoothGrad("IG", t, tm, sg_steps, 0.0, target, "cpu",
                                 samples=samples).detach().numpy()
         finally:
             torch.normal = orig_normal
         noises = np.stack(drawn)[:, 0].transpose(0, 2, 3, 1)  # [S, H, W, 3]
         got = G.smooth_grad(pair.bundle, xn, target, key, "IG",
-                            steps=steps, noises=noises)
+                            steps=sg_steps, noises=noises)
     elif method == "gig":
         rgig = rl.load_gig()
         ref = rgig.GuidedIG().GetMask(
@@ -525,7 +538,7 @@ def _cnn_pair_extra(method: str, pair: Pair, xn, x01, target: int,
         from ..methods import xrai as jxrai
         rxrai = rl.load_xrai()
         segs = jxrai.get_segments(np.asarray(xn))
-        ref_ig = sm.IG(t, tm, steps, max(2, steps // 2), 1.0, 0.0, "cpu",
+        ref_ig = sm.IG(t, tm, steps, chunk, 1.0, 0.0, "cpu",
                        target).detach()
         ref = rxrai.XRAI().GetMask(
             t.squeeze().permute(1, 2, 0).numpy(),
