@@ -91,9 +91,16 @@ def test_golden_parity_cnn_registry_surface(ckpt_dir, tmp_path):
     assert "error" not in by["idg"] and "error" not in by["xrai"]
     assert by["lime"]["rel_linf"] <= 2e-3
     try:
-        import captum  # noqa: F401
-        assert "rel_linf" in by["gc"]
+        # mirror the tool's predicate: a sys.modules stub without __file__
+        # (installed by reference_loader for earlier driver-parity tests)
+        # is NOT a usable captum
+        import captum.attr as _ca
+        have_captum = bool(getattr(_ca, "__file__", None))
     except ImportError:
+        have_captum = False
+    if have_captum:
+        assert "rel_linf" in by["gc"]
+    else:
         assert "captum" in by["gc"]["skip"]
 
 

@@ -454,12 +454,20 @@ def _cnn_pair(method: str, pair: Pair, xn, x01, target: int, steps: int,
 def _captum_attr():
     try:
         import captum.attr as ca
-        return ca
     except ImportError as e:
         raise SkipMethod(
             "captum not installed — the reference's gbp/gc/ggc/gs/fa/occ/"
             f"shap are captum 0.7 library calls ({e}); install captum "
             "next to the checkpoints to golden-verify these methods")
+    # an importable module without __file__ is an in-process stub (the CI
+    # reference_loader registers one so the reference's import chains
+    # resolve) — treat it as not installed, not as a usable captum
+    if not getattr(ca, "__file__", None):
+        raise SkipMethod(
+            "captum not installed — sys.modules holds a stub (no __file__)"
+            "; the reference's gbp/gc/ggc/gs/fa/occ/shap are captum 0.7 "
+            "library calls; install captum to golden-verify these methods")
+    return ca
 
 
 def _cnn_pair_extra(method: str, pair: Pair, xn, x01, target: int,
